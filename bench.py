@@ -1,0 +1,70 @@
+"""Headline benchmark: NSA sparse decode throughput at seq 4096 on one chip.
+
+Measures decode tokens/s for the reference model configuration (6-layer
+byte GPT, dim 512, 8 heads / 4 KV heads) at batch 64, prompt 3900,
+gen_len 100 with the structured sparse KV cache — the reference's own
+headline efficiency configuration (reference: evaluation/
+run_pretrain_efficiency_test.sh:31-33, efficiency_step5000_seq4096.csv).
+
+Prints ONE JSON line:
+  value        = sparse decode tokens/s on this chip
+  vs_baseline  = value / 1080.2 (the reference's best sparse decode tok/s
+                 at the same config on its NVIDIA L40, BASELINE.md)
+Also includes the full-attention number and the sparse/full ratio (the
+north-star metric: >= 3x at seq 4096) as extra keys.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nsa_tpu.config import reference_model_config
+from nsa_tpu.eval.efficiency import measure_decode
+from nsa_tpu.models.transformer import init_transformer
+
+REFERENCE_SPARSE_DECODE_TPS = 1080.2   # BASELINE.md: best sparse, bs64/prompt3900
+BATCH = 64
+PROMPT = 3900
+GEN = 100
+
+
+def main():
+    quick = "--quick" in sys.argv
+    batch, prompt, gen = (8, 500, 20) if quick else (BATCH, PROMPT, GEN)
+
+    results = {}
+    for name, sparse in [("sparse_mlp", True), ("full", False)]:
+        cfg = reference_model_config(
+            compressor="mlp", use_sparse_attn=sparse,
+        ).replace(dtype="bfloat16", attn_chunk_size=128)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        if cfg.dtype == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params
+            )
+        tps = measure_decode(params, cfg, batch, prompt, gen, iters=3)
+        results[name] = tps
+        print(f"# {name}: {tps:.1f} decode tok/s", file=sys.stderr)
+        del params
+
+    sparse_tps = results["sparse_mlp"]
+    full_tps = results["full"]
+    print(json.dumps({
+        "metric": f"NSA sparse decode tokens/s (bs {batch}, prompt {prompt}, gen {gen})",
+        "value": round(sparse_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(sparse_tps / REFERENCE_SPARSE_DECODE_TPS, 3),
+        "full_attn_tokens_per_s": round(full_tps, 1),
+        "sparse_over_full": round(sparse_tps / full_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Efficiency benchmark: prefill and decode throughput + KV-access savings.
+
+Equivalent of the reference's E1 benchmark (reference:
+evaluation/efficiency.py:190-380) with the same CSV schema
+(``efficiency_step5000*.csv``): per (model_type, batch_size, prompt_len)
+measure prefill tokens/s (repeated timed full-prompt forwards), decode
+tokens/s (prefill once, then gen_len greedy cached token steps), and the
+analytic KV-cache access-saving ratio
+``1 - min(len, window + k*block) / len`` (reference:
+evaluation/efficiency.py:349-361).
+
+Timing uses ``block_until_ready`` brackets (the TPU analogue of the
+reference's CUDA-event timing, SURVEY.md section 5), with warmup so
+compile time is excluded.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.transformer import (
+    transformer_decode_step,
+    transformer_forward,
+    transformer_prefill,
+)
+from ..ops.common import round_up_mult
+from ..utils.metrics import CSVLogger
+
+
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    """Median wall time per call (seconds), post-warmup."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def kv_cache_saving_ratio(cfg: ModelConfig, prompt_len: int) -> float:
+    """Analytic per-query KV-access saving (reference:
+    evaluation/efficiency.py:349-361)."""
+    if not cfg.use_sparse_attn:
+        return 0.0
+    nsa = cfg.nsa
+    selected = nsa.sliding_window_size + nsa.num_selected_blocks * nsa.selection_block_size
+    return 1.0 - min(prompt_len, selected) / prompt_len
+
+
+def measure_prefill(params, cfg: ModelConfig, batch_size: int, prompt_len: int,
+                    iters: int = 5) -> float:
+    """Prefill throughput in tokens/s (full-prompt forward)."""
+    ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
+    fwd = jax.jit(lambda i: transformer_forward(params, cfg, i))
+    dt = _time_fn(fwd, ids, iters=iters)
+    return batch_size * prompt_len / dt
+
+
+def measure_decode(
+    params, cfg: ModelConfig, batch_size: int, prompt_len: int, gen_len: int = 100,
+    iters: int = 3,
+) -> float:
+    """Decode throughput in tokens/s: prefill once then ``gen_len`` greedy
+    cached steps inside one jitted scan (total tokens = bs * gen_len,
+    matching the reference's metric, evaluation/efficiency.py:269-320)."""
+    stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
+    blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1, 128)
+    max_len = round_up_mult(prompt_len + gen_len + 1, blk)
+    ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
+
+    prefill = jax.jit(
+        lambda i: transformer_prefill(params, cfg, i, max_len)
+    )
+    logits, cache = jax.block_until_ready(prefill(ids))
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def decode_scan(first, cache):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = transformer_decode_step(params, cfg, tok, cache)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, cache), tok
+        (_, _), toks = jax.lax.scan(step, (first, cache), None, length=gen_len)
+        return toks
+
+    dt = _time_fn(decode_scan, first, cache, warmup=1, iters=iters)
+    return batch_size * gen_len / dt
+
+
+def run_efficiency_eval(
+    params,
+    cfg: ModelConfig,
+    model_type: str,
+    batch_size: int,
+    prompt_len: int,
+    gen_len: int = 100,
+    seq_len: Optional[int] = None,
+    csv_path: Optional[str] = None,
+    step: int = 0,
+) -> dict:
+    prefill_tps = measure_prefill(params, cfg, batch_size, prompt_len)
+    decode_tps = measure_decode(params, cfg, batch_size, prompt_len, gen_len)
+    row = {
+        "model_type": model_type,
+        "step": step,
+        "seq_len": seq_len or prompt_len,
+        "batch_size": batch_size,
+        "prompt_len": prompt_len,
+        "gen_len": gen_len,
+        "prefill_tokens_per_s": round(prefill_tps, 1),
+        "decode_tokens_per_s": round(decode_tps, 1),
+        "kv_cache_saving_ratio": round(kv_cache_saving_ratio(cfg, prompt_len), 4),
+    }
+    if csv_path:
+        CSVLogger(csv_path).append(row)
+    return row

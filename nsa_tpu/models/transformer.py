@@ -1,0 +1,313 @@
+"""Byte-level GPT with full or native-sparse attention.
+
+TPU-native reimplementation of the reference ``Transformer``
+(reference: sparse_attention/native_sparse_attention_pytorch/transformer.py):
+
+* token embed -> depth x (attention + prenorm GELU FF x4) -> RMSNorm ->
+  logits; cross-entropy on shifted ids (reference: transformer.py:314-411);
+* full-attention baseline ``Attention`` with GQA + rotary + rotated-KV
+  decode cache (reference: transformer.py:65-186);
+* autoregressive sampling with greedy or top-k + Gumbel
+  (reference: transformer.py:44-61,273-312) — but implemented as a single
+  jitted ``lax.scan`` over a static-shape decode step instead of the
+  reference's per-token Python loop (its decode HOT loop, SURVEY.md
+  section 3.2).
+
+The model is a pure function over an explicit parameter pytree; the decode
+cache is an explicit pytree threaded through ``decode_step``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import attend, full_attention, full_attention_chunked
+from ..ops.common import (
+    mask_value,
+    merge_heads,
+    rms_norm,
+    round_up_mult,
+    split_heads,
+)
+from ..ops.nsa import (
+    NSADecodeCache,
+    init_decode_cache,
+    init_sparse_attention,
+    sparse_attention_decode,
+    sparse_attention_forward,
+)
+from ..ops.rotary import rotate_at_offset, rotate_qk
+
+
+class KVDecodeCache(NamedTuple):
+    """Full-attention layer cache: rotated K and V (reference:
+    transformer.py:108-128)."""
+
+    k: jnp.ndarray  # [b, kvh, max_len, d]
+    v: jnp.ndarray  # [b, kvh, max_len, d]
+
+
+LayerCache = Union[NSADecodeCache, KVDecodeCache]
+
+
+class ModelCache(NamedTuple):
+    layers: Tuple[LayerCache, ...]
+    seq_len: jnp.ndarray  # scalar int32: number of cached tokens
+
+
+def _uniform(key, shape, fan_in):
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _init_full_attention(key, cfg: ModelConfig) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "norm_scale": jnp.ones((cfg.dim,), jnp.float32),
+        "w_q": _uniform(ks[0], (cfg.dim, cfg.dim_inner), cfg.dim),
+        "w_k": _uniform(ks[1], (cfg.dim, cfg.dim_kv_inner), cfg.dim),
+        "w_v": _uniform(ks[2], (cfg.dim, cfg.dim_kv_inner), cfg.dim),
+        "w_out": _uniform(ks[3], (cfg.dim_inner, cfg.dim), cfg.dim_inner),
+    }
+
+
+def _init_ff(key, cfg: ModelConfig) -> dict:
+    hidden = int(cfg.dim * cfg.ff_expansion_factor)
+    ks = jax.random.split(key, 4)
+    return {
+        "norm_scale": jnp.ones((cfg.dim,), jnp.float32),
+        "w1": _uniform(ks[0], (cfg.dim, hidden), cfg.dim),
+        "b1": _uniform(ks[1], (hidden,), cfg.dim),
+        "w2": _uniform(ks[2], (hidden, cfg.dim), hidden),
+        "b2": _uniform(ks[3], (cfg.dim,), hidden),
+    }
+
+
+def init_transformer(key: jax.Array, cfg: ModelConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 2)
+    layers = []
+    for i in range(cfg.depth):
+        ka, kf = jax.random.split(keys[i])
+        attn = (
+            init_sparse_attention(ka, cfg)
+            if cfg.use_sparse_attn
+            else _init_full_attention(ka, cfg)
+        )
+        layers.append({"attn": attn, "ff": _init_ff(kf, cfg)})
+    return {
+        "token_emb": jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim)),
+        "layers": layers,
+        "norm_scale": jnp.ones((cfg.dim,), jnp.float32),
+        "to_logits": _uniform(keys[-1], (cfg.dim, cfg.vocab_size), cfg.dim),
+    }
+
+
+def _ff_apply(params, cfg: ModelConfig, x):
+    h = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    h = jax.nn.gelu(
+        h @ params["w1"].astype(h.dtype) + params["b1"].astype(h.dtype),
+        approximate=False,
+    )
+    return h @ params["w2"].astype(h.dtype) + params["b2"].astype(h.dtype)
+
+
+def _full_attn_forward(
+    params, cfg: ModelConfig, x, *, return_cache_max_len: Optional[int] = None
+):
+    b, n, _ = x.shape
+    normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    q = split_heads(normed @ params["w_q"].astype(x.dtype), cfg.dim_head)
+    k = split_heads(normed @ params["w_k"].astype(x.dtype), cfg.dim_head)
+    v = split_heads(normed @ params["w_v"].astype(x.dtype), cfg.dim_head)
+    q, k = rotate_qk(q, k, cfg.rope_theta)
+    out = full_attention_chunked(
+        q, k, v, causal=cfg.causal, chunk=max(cfg.attn_chunk_size, 128)
+    )
+    out = merge_heads(out) @ params["w_out"].astype(x.dtype)
+    if return_cache_max_len is None:
+        return out
+    max_len = return_cache_max_len
+    pad = [(0, 0), (0, 0), (0, max_len - n), (0, 0)]
+    return out, KVDecodeCache(k=jnp.pad(k, pad), v=jnp.pad(v, pad))
+
+
+def _full_attn_decode(params, cfg: ModelConfig, x, cache: KVDecodeCache, seq_len):
+    b = x.shape[0]
+    d, kvh, g = cfg.dim_head, cfg.kv_heads, cfg.num_grouped_queries
+    max_len = cache.k.shape[2]
+    normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    q = split_heads(normed @ params["w_q"].astype(x.dtype), d)[:, :, 0]
+    k = split_heads(normed @ params["w_k"].astype(x.dtype), d)[:, :, 0]
+    v = split_heads(normed @ params["w_v"].astype(x.dtype), d)[:, :, 0]
+    rq = rotate_at_offset(q[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
+    rk = rotate_at_offset(k[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
+    k_cache = jax.lax.dynamic_update_slice(cache.k, rk[:, :, None], (0, 0, seq_len, 0))
+    v_cache = jax.lax.dynamic_update_slice(cache.v, v[:, :, None], (0, 0, seq_len, 0))
+    sim = jnp.einsum(
+        "bhgd,bhjd->bhgj", rq.reshape(b, kvh, g, d), k_cache,
+        preferred_element_type=jnp.float32,
+    ) * (d ** -0.5)
+    valid = jnp.arange(max_len) <= seq_len
+    sim = jnp.where(valid[None, None, None], sim, mask_value(jnp.float32))
+    attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhgj,bhjd->bhgd", attn, v_cache).reshape(b, cfg.heads, d)
+    out = merge_heads(out[:, :, None]) @ params["w_out"].astype(x.dtype)
+    return out, KVDecodeCache(k=k_cache, v=v_cache)
+
+
+# -- model-level entry points ---------------------------------------------
+
+def transformer_forward(
+    params,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,
+    *,
+    impl: Optional[str] = None,
+    return_cache_max_len: Optional[int] = None,
+):
+    """Forward over token ids [b, n] -> logits [b, n, vocab].
+
+    With ``return_cache_max_len`` also returns a ``ModelCache`` (prefill).
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    x = params["token_emb"][ids].astype(dtype)
+    build_cache = return_cache_max_len is not None
+    layer_caches = []
+    for layer in params["layers"]:
+        if cfg.use_sparse_attn:
+            res = sparse_attention_forward(
+                layer["attn"], cfg, x, impl=impl,
+                return_cache_max_len=return_cache_max_len,
+            )
+        else:
+            res = _full_attn_forward(
+                layer["attn"], cfg, x, return_cache_max_len=return_cache_max_len
+            )
+        if build_cache:
+            attn_out, lc = res
+            layer_caches.append(lc)
+        else:
+            attn_out = res
+        x = x + attn_out
+        x = x + _ff_apply(layer["ff"], cfg, x)
+    x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    logits = (x @ params["to_logits"].astype(dtype)).astype(jnp.float32)
+    if not build_cache:
+        return logits
+    cache = ModelCache(
+        layers=tuple(layer_caches),
+        seq_len=jnp.asarray(ids.shape[1], jnp.int32),
+    )
+    return logits, cache
+
+
+def transformer_loss(params, cfg: ModelConfig, ids: jnp.ndarray, *, impl=None):
+    """Cross-entropy on shifted ids (reference: transformer.py:329-330,411)."""
+    inp, labels = ids[:, :-1], ids[:, 1:]
+    logits = transformer_forward(params, cfg, inp, impl=impl)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def init_model_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> ModelCache:
+    if cfg.use_sparse_attn:
+        layers = tuple(
+            init_decode_cache(cfg, batch, max_len, dtype) for _ in range(cfg.depth)
+        )
+    else:
+        d, kvh = cfg.dim_head, cfg.kv_heads
+        z = jnp.zeros((batch, kvh, max_len, d), dtype)
+        layers = tuple(KVDecodeCache(k=z, v=z) for _ in range(cfg.depth))
+    return ModelCache(layers=layers, seq_len=jnp.asarray(0, jnp.int32))
+
+
+def transformer_prefill(
+    params, cfg: ModelConfig, ids: jnp.ndarray, max_len: int, *, impl=None
+):
+    """Prefill: forward over the prompt, building the decode cache."""
+    return transformer_forward(
+        params, cfg, ids, impl=impl, return_cache_max_len=max_len
+    )
+
+
+def transformer_decode_step(
+    params, cfg: ModelConfig, token: jnp.ndarray, cache: ModelCache
+) -> Tuple[jnp.ndarray, ModelCache]:
+    """One token step. token: [b] int32 -> logits [b, vocab], new cache."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    x = params["token_emb"][token][:, None].astype(dtype)   # [b, 1, dim]
+    t = cache.seq_len
+    new_layers = []
+    for layer, lc in zip(params["layers"], cache.layers):
+        if cfg.use_sparse_attn:
+            attn_out, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
+        else:
+            attn_out, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
+        new_layers.append(new_lc)
+        x = x + attn_out
+        x = x + _ff_apply(layer["ff"], cfg, x)
+    x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["to_logits"].astype(dtype)).astype(jnp.float32)
+    return logits, ModelCache(layers=tuple(new_layers), seq_len=t + 1)
+
+
+def _sample_from_logits(logits, rng, temperature: float, filter_thres: float):
+    """Greedy (temperature <= 0) or top-k + Gumbel (reference:
+    transformer.py:44-61)."""
+    if temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    vocab = logits.shape[-1]
+    k = max(1, -int(-((1.0 - filter_thres) * vocab) // 1))  # ceil
+    vals, _ = jax.lax.top_k(logits, k)
+    kth = vals[..., -1:]
+    filtered = jnp.where(logits >= kth, logits, -jnp.inf)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, logits.shape) + 1e-20) + 1e-20)
+    return jnp.argmax(filtered / temperature + gumbel, axis=-1).astype(jnp.int32)
+
+
+def transformer_sample(
+    params,
+    cfg: ModelConfig,
+    prompt: jnp.ndarray,
+    gen_len: int,
+    *,
+    temperature: float = 0.0,
+    filter_thres: float = 0.9,
+    rng: Optional[jax.Array] = None,
+    max_len: Optional[int] = None,
+    impl=None,
+):
+    """Autoregressive generation: prefill + jitted scan of decode steps.
+
+    prompt: [b, prompt_len] int32. Returns [b, gen_len] sampled ids.
+    """
+    b, prompt_len = prompt.shape
+    stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
+    need = prompt_len + gen_len
+    if max_len is None:
+        max_len = round_up_mult(need, max(stride, cfg.nsa.selection_block_size, 128))
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    logits, cache = transformer_prefill(params, cfg, prompt, max_len, impl=impl)
+    first = _sample_from_logits(logits[:, -1], rng, temperature, filter_thres)
+
+    def step(carry, rng_i):
+        token, cache = carry
+        logits, cache = transformer_decode_step(params, cfg, token, cache)
+        nxt = _sample_from_logits(logits, rng_i, temperature, filter_thres)
+        return (nxt, cache), token
+
+    if gen_len == 0:
+        return jnp.zeros((b, 0), jnp.int32)
+    rngs = jax.random.split(rng, gen_len)
+    # each step emits the token it consumes, so the stacked outputs are
+    # exactly the gen_len sampled tokens starting with `first`
+    (_, _), tokens = jax.lax.scan(step, (first, cache), rngs, length=gen_len)
+    return jnp.moveaxis(tokens, 0, 1)  # [b, gen_len]

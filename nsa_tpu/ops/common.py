@@ -1,0 +1,66 @@
+"""Shared numerical helpers: norms, masking values, shape utilities."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def round_down_mult(n: int, mult: int) -> int:
+    return (n // mult) * mult
+
+
+def round_up_mult(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def mask_value(dtype) -> float:
+    """Large negative fill for masked attention logits.
+
+    The reference fills masked logits with ``-finfo.max // 10`` (reference:
+    native_sparse_attention.py:168-171) so that masked compressed-attention
+    logits stay finite when reused as importance scores; we keep the same
+    behavior.
+    """
+    return float(jnp.finfo(dtype).max) * -0.1
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm with learned scale (reference uses torch.nn.RMSNorm)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    normed = x * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(dtype)
+
+
+def split_heads(x: jnp.ndarray, dim_head: int) -> jnp.ndarray:
+    """[b, n, h*d] -> [b, h, n, d]"""
+    b, n, hd = x.shape
+    return x.reshape(b, n, hd // dim_head, dim_head).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[b, h, n, d] -> [b, n, h*d]"""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def repeat_kv(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """[b, kvh, n, d] -> [b, kvh*groups, n, d] (GQA head repeat).
+
+    Matches the reference's einops ``repeat(t, 'b h ... -> b (h gh) ...')``
+    layout where grouped query heads of one KV head are adjacent.
+    """
+    if groups == 1:
+        return x
+    b, h, n, d = x.shape
+    x = jnp.broadcast_to(x[:, :, None], (b, h, groups, n, d))
+    return x.reshape(b, h * groups, n, d)
+
+
+def straight_through(t: jnp.ndarray, target) -> jnp.ndarray:
+    """Value of ``target``, gradient of ``t`` (reference:
+    native_sparse_attention.py:148-149)."""
+    target = jnp.broadcast_to(jnp.asarray(target, t.dtype), t.shape)
+    return t + jax.lax.stop_gradient(target - t)

@@ -1,0 +1,160 @@
+"""Byte-level GPT pretraining loop.
+
+TPU-native equivalent of the reference pretraining script (reference:
+pretrain/train.py:237-307): Adam, gradient accumulation, global-norm
+clipping, periodic validation / generation / checkpointing, early stop —
+but with a single jitted update step (grad-accum folded into one
+``lax.scan`` inside jit rather than N eager backward calls), typed configs,
+Orbax checkpoints with config metadata, and true resume (the reference has
+none, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DataConfig, ModelConfig, TrainConfig
+from ..models.transformer import (
+    init_transformer,
+    transformer_loss,
+    transformer_sample,
+)
+from ..utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from ..utils.metrics import MetricsLogger
+from .data import batch_iterator, load_byte_corpus, sample_batch
+
+
+def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(train_cfg.grad_clip_norm),
+        optax.adam(train_cfg.learning_rate),
+    )
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "optimizer", "accum"))
+def train_step(params, opt_state, batch, model_cfg: ModelConfig,
+               optimizer, accum: int):
+    """One optimizer step over ``accum`` micro-batches.
+
+    batch: [accum, micro_batch, seq_len + 1] int32.
+    """
+    def micro(carry, micro_batch):
+        loss, grads = jax.value_and_grad(transformer_loss)(
+            params, model_cfg, micro_batch
+        )
+        g_acc, l_acc = carry
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+        return (g_acc, l_acc + loss), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+    grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss_sum / accum
+
+
+@partial(jax.jit, static_argnames=("model_cfg",))
+def eval_step(params, batch, model_cfg: ModelConfig):
+    return transformer_loss(params, model_cfg, batch)
+
+
+def decode_bytes(tokens: np.ndarray) -> str:
+    return "".join(chr(max(32, int(t))) for t in tokens)
+
+
+def run_pretrain(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    data_cfg: Optional[DataConfig] = None,
+    resume: bool = True,
+    logger: Optional[MetricsLogger] = None,
+) -> Tuple[dict, float]:
+    """Train; returns (params, last train loss)."""
+    data_cfg = data_cfg or DataConfig()
+    logger = logger or MetricsLogger(csv_path=train_cfg.log_csv)
+
+    train_data, val_data = load_byte_corpus(data_cfg)
+    print(f"corpus: {len(train_data):,} train / {len(val_data):,} val bytes")
+
+    rng = np.random.RandomState(train_cfg.seed)
+    micro = train_cfg.batch_size
+    accum = train_cfg.grad_accum_every
+    seq = train_cfg.seq_len
+
+    params = init_transformer(jax.random.PRNGKey(train_cfg.seed), model_cfg)
+    optimizer = make_optimizer(train_cfg)
+    opt_state = optimizer.init(params)
+    start_step = 0
+
+    ckpt = latest_checkpoint(train_cfg.ckpt_dir) if resume else None
+    if ckpt:
+        (state), meta = restore_checkpoint(
+            ckpt, {"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = meta["step"]
+        print(f"resumed from {ckpt} at step {start_step}")
+
+    n_devices = jax.local_device_count()
+    loss = float("nan")
+    t_start = time.time()
+    for step in range(start_step, train_cfg.num_batches):
+        batch = np.stack(
+            [sample_batch(train_data, micro, seq, rng) for _ in range(accum)]
+        )
+        params, opt_state, loss_dev = train_step(
+            params, opt_state, jnp.asarray(batch), model_cfg, optimizer, accum
+        )
+        loss = float(loss_dev)
+        tokens_per_s = micro * accum * seq * (step - start_step + 1) / (
+            time.time() - t_start
+        )
+        logger.log(step, loss=loss, tokens_per_s=round(tokens_per_s))
+
+        if loss <= train_cfg.early_stop_loss:
+            print(f"early stop at step {step}: loss {loss:.4f}")
+            save_checkpoint(
+                train_cfg.ckpt_dir, step + 1, params, opt_state, model_cfg,
+                extra={"loss": loss, "early_stop": True},
+            )
+            break
+
+        if (step + 1) % train_cfg.ckpt_every == 0:
+            path = save_checkpoint(
+                train_cfg.ckpt_dir, step + 1, params, opt_state, model_cfg,
+                extra={"loss": loss},
+            )
+            print(f"saved checkpoint: {path}")
+
+        if step % train_cfg.validate_every == 0:
+            vbatch = sample_batch(val_data, micro, seq, rng)
+            vloss = float(eval_step(params, jnp.asarray(vbatch), model_cfg))
+            logger.log(step, valid_loss=vloss)
+
+        if train_cfg.generate_every and step % train_cfg.generate_every == 0 and step > 0:
+            start = rng.randint(0, len(val_data) - train_cfg.prime_length - 1)
+            prime = val_data[start:start + train_cfg.prime_length].astype(np.int32)
+            sampled = transformer_sample(
+                params, model_cfg, jnp.asarray(prime)[None],
+                train_cfg.generate_length, temperature=0.0,
+            )
+            print("--- prime ---")
+            print(decode_bytes(prime))
+            print("--- sample ---")
+            print(decode_bytes(np.asarray(sampled)[0]))
+
+    return params, loss
