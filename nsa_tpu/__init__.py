@@ -7,6 +7,7 @@ byte-level GPT pretraining, a structured sparse KV cache with a fully
 jitted decode path, an evaluation suite, and mesh-parallel execution.
 """
 
+from . import _cache_setup  # noqa: F401  (sets JAX compilation-cache env)
 from .config import (
     DataConfig,
     MeshConfig,

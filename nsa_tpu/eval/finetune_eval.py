@@ -1,0 +1,91 @@
+"""QA accuracy evaluation for adapted models (reference E6).
+
+Equivalent of the reference's fine-tune evaluator (reference:
+evaluation/fine_tune/evaluate_sparse_attention_finetune.py:25-160):
+greedy generation per question, regex answer extraction, accuracy,
+optional base-vs-adapted comparison, JSON results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.adapter import adapted_forward
+
+
+def extract_answer(text: str) -> Optional[str]:
+    """First token-ish answer after 'Answer:' (reference extracts via
+    regex over the generation, evaluate_sparse_attention_finetune.py:25-67)."""
+    m = re.search(r"Answer:\s*([^\n]+)", text)
+    if not m:
+        return None
+    return m.group(1).strip().lower()
+
+
+def greedy_generate_reforward(
+    forward_fn, prompt_ids: np.ndarray, gen_len: int
+) -> np.ndarray:
+    """Greedy generation by full re-forward each step (the reference's
+    adapter line has no KV cache and does exactly this,
+    sparse_attention_model.py:401-521)."""
+    ids = prompt_ids.copy()
+    for _ in range(gen_len):
+        logits = np.asarray(forward_fn(jnp.asarray(ids)[None]))[0]
+        nxt = int(np.argmax(logits[-1]))
+        ids = np.concatenate([ids, [nxt]])
+        if nxt == ord("\n"):
+            break
+    return ids[len(prompt_ids):]
+
+
+def evaluate_qa_accuracy(
+    adapters,
+    teacher_params,
+    cfg_student: ModelConfig,
+    pairs: List[Tuple[str, str]],
+    gen_len: int = 32,
+    max_samples: int = 50,
+    json_path: Optional[str] = None,
+    compare_base=None,  # optional fn(ids)->logits for the frozen base
+) -> Dict:
+    def student_fn(ids):
+        return adapted_forward(adapters, teacher_params, cfg_student, ids)
+
+    results, correct, base_correct = [], 0, 0
+    for q, a in pairs[:max_samples]:
+        prompt = np.frombuffer(f"{q}\nAnswer: ".encode(), np.uint8).astype(np.int32)
+        gen = greedy_generate_reforward(student_fn, prompt, gen_len)
+        text = f"{q}\nAnswer: " + bytes(gen.astype(np.uint8)).decode(errors="ignore")
+        pred = extract_answer(text)
+        hit = pred is not None and pred.startswith(a.strip().lower())
+        correct += int(hit)
+        row = {"question": q, "gold": a, "pred": pred, "correct": hit}
+        if compare_base is not None:
+            bgen = greedy_generate_reforward(compare_base, prompt, gen_len)
+            btext = f"{q}\nAnswer: " + bytes(bgen.astype(np.uint8)).decode(errors="ignore")
+            bpred = extract_answer(btext)
+            bhit = bpred is not None and bpred.startswith(a.strip().lower())
+            base_correct += int(bhit)
+            row.update({"base_pred": bpred, "base_correct": bhit})
+        results.append(row)
+
+    n = len(results)
+    out = {
+        "accuracy": correct / max(n, 1),
+        "num_samples": n,
+        "results": results,
+    }
+    if compare_base is not None:
+        out["base_accuracy"] = base_correct / max(n, 1)
+    if json_path:
+        os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=2)
+    return out

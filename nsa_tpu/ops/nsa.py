@@ -36,6 +36,7 @@ instead of O(seq).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -125,6 +126,13 @@ def _compress_kv(params, cfg: ModelConfig, k_windows, v_windows):
     return ck, cv
 
 
+def _sel_leaves(res):
+    """(c_out, Selection) -> flat leaves for lax.map stacking."""
+    c_out, sel = res
+    gates = sel.gates if sel.gates is not None else jnp.zeros_like(sel.scores)
+    return c_out, sel.indices, sel.mask, gates
+
+
 def _gate_combine(params, cfg: ModelConfig, normed_inp, branch_outs):
     """Sigmoid gate over the three strategies (reference: :313-327,852-856)."""
     b, n, _ = normed_inp.shape
@@ -204,7 +212,8 @@ def sparse_attention_forward(
     Hs = kvh if nsa.query_heads_share_selected_kv else h
     kb, vb = blockify_kv(rk, v, nsa.selection_block_size, Hs)
 
-    def branches_12(q_chunk, rq_chunk, positions):
+    def compressed_and_select(q_chunk, positions):
+        """Branch 1 output + fine-block selection for one query chunk."""
         cmask = None
         if cfg.causal:
             cmask = ck_ends[None, :] < positions[:, None]     # [m, mem+w]
@@ -218,42 +227,86 @@ def sparse_attention_forward(
             importance, positions, nsa.selection_block_size, stride
         )
         sel = select_blocks(norm_scores, nsa.num_selected_blocks, nsa.use_diff_topk)
+        return c_out, sel
+
+    def branches_12(q_chunk, rq_chunk, positions):
+        c_out, sel = compressed_and_select(q_chunk, positions)
         f_out = fine_attend_core(
             rq_chunk, kb, vb, sel.indices, sel.mask, sel.gates,
             positions, cfg.causal, scale,
         )
         return c_out, f_out
 
-    chunk = cfg.attn_chunk_size
-    if impl != "reference" and n > chunk:
-        Nc = round_up_mult(n, chunk)
-        C = Nc // chunk
-        pad = ((0, 0), (0, 0), (0, Nc - n), (0, 0))
-
-        def to_chunks(t):
-            t = jnp.pad(t, pad)
-            return jnp.moveaxis(
-                t.reshape(b, -1, C, chunk, d), 2, 0
-            )                                                  # [C, b, h, chunk, d]
-
-        pos_c = jnp.arange(Nc).reshape(C, chunk)
-        couts, fouts = jax.lax.map(
-            jax.checkpoint(lambda args: branches_12(*args)),
-            (to_chunks(q), to_chunks(rq), pos_c),
-        )
-
-        def from_chunks(t):
-            return jnp.moveaxis(t, 0, 2).reshape(b, h, Nc, d)[:, :, :n]
-
-        compressed_out = from_chunks(couts)
-        fine_out = from_chunks(fouts)
-    else:
-        compressed_out, fine_out = branches_12(q, rq, jnp.arange(n))
-
-    # ---- branch 3: sliding window ---------------------------------------
-    sliding_out = sliding_window_attention(
-        rq, rk, v, nsa.sliding_window_size, causal=cfg.causal, scale=scale
+    # The fused Pallas kernel computes fine+sliding in one pass; it covers
+    # the shared-selection causal regime with a masked diagonal (the
+    # default config). Anything else falls back to the XLA paths.
+    S = min(
+        nsa.num_selected_blocks,
+        max(num_cblocks // nsa.num_compress_per_fine, 0),
     )
+    use_fused_kernel = (
+        impl == "pallas"
+        and cfg.causal
+        and nsa.query_heads_share_selected_kv
+        and nsa.num_compress_per_fine > 1
+        and S > 0
+    )
+
+    chunk = cfg.attn_chunk_size
+    Nc = round_up_mult(n, chunk)
+    C = Nc // chunk
+
+    def to_chunks(t, last):
+        pad = [(0, 0)] * t.ndim
+        pad[2] = (0, Nc - n)
+        t = jnp.pad(t, pad)
+        return jnp.moveaxis(t.reshape(*t.shape[:2], C, chunk, last), 2, 0)
+
+    def from_chunks(t, last):
+        H = t.shape[2]
+        return jnp.moveaxis(t, 0, 2).reshape(b, H, Nc, last)[:, :, :n]
+
+    pos_c = jnp.arange(Nc).reshape(C, chunk)
+
+    if use_fused_kernel:
+        from .pallas.nsa_prefill import nsa_fine_sliding_attention
+
+        if n > chunk:
+            couts, idxs, msks, gts = jax.lax.map(
+                jax.checkpoint(
+                    lambda args: _sel_leaves(compressed_and_select(*args))
+                ),
+                (to_chunks(q, d), pos_c),
+            )
+            compressed_out = from_chunks(couts, d)
+            sel_idx = from_chunks(idxs, S)
+            sel_mask = from_chunks(msks, S)
+            gates = from_chunks(gts, S) if nsa.use_diff_topk else None
+        else:
+            compressed_out, sel = compressed_and_select(q, jnp.arange(n))
+            sel_idx, sel_mask, gates = sel.indices, sel.mask, sel.gates
+
+        fine_out, sliding_out = nsa_fine_sliding_attention(
+            rq, rk, v, sel_idx, sel_mask, gates,
+            nsa.selection_block_size, nsa.sliding_window_size, scale,
+        )
+    else:
+        if impl != "reference" and n > chunk:
+            couts, fouts = jax.lax.map(
+                jax.checkpoint(lambda args: branches_12(*args)),
+                (to_chunks(q, d), to_chunks(rq, d), pos_c),
+            )
+            compressed_out = from_chunks(couts, d)
+            fine_out = from_chunks(fouts, d)
+        else:
+            compressed_out, fine_out = branches_12(q, rq, jnp.arange(n))
+        sliding_out = None
+
+    # ---- branch 3: sliding window (unless fused into the kernel) ---------
+    if sliding_out is None:
+        sliding_out = sliding_window_attention(
+            rq, rk, v, nsa.sliding_window_size, causal=cfg.causal, scale=scale
+        )
 
     # ---- gate combine + output projection --------------------------------
     out = _gate_combine(params, cfg, normed, [compressed_out, fine_out, sliding_out])
@@ -340,6 +393,13 @@ def sparse_attention_decode(
     num_cb = t // stride                          # compressed blocks cached
     run_fill = overlap + t - num_cb * stride      # live entries in run buffer
 
+    # profiling-only ablation hooks (scripts/profile_decode.py); read at
+    # trace time, never set in production
+    ablate = os.environ.get("NSA_ABLATE", "")
+    skip_fine = ablate in ("no_fine", "attn_only")
+    skip_compressed = ablate in ("no_compressed", "attn_only")
+    skip_emit = ablate in ("no_emit", "attn_only")
+
     normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     q = split_heads(normed @ params["w_q"].astype(normed.dtype), d)[:, :, 0]
     k_new = split_heads(normed @ params["w_k"].astype(normed.dtype), d)[:, :, 0]
@@ -353,27 +413,38 @@ def sparse_attention_decode(
         cache.run_v, v_new[:, :, None], (0, 0, run_fill, 0)
     )
 
-    def emit(args):
-        run_k, run_v, ck, cv = args
-        new_ck, new_cv = _compress_kv(
+    # Predicated (branch-free) compressed-block emission: always compress
+    # the current run buffer, but only let the result land when the buffer
+    # is exactly full.  A lax.cond here costs ~1.6 ms/step on TPU (it
+    # blocks fusion); the unconditional compressor on a [b,kvh,1,Bc,d]
+    # window is microseconds.
+    if skip_emit:
+        ck_cache, cv_cache = cache.ck, cache.cv
+    else:
+        emit = (run_fill + 1 == Bc)
+        cand_ck, cand_cv = _compress_kv(
             params, cfg, run_k[:, :, None], run_v[:, :, None]
         )  # [b, kvh, 1, d]
-        ck = jax.lax.dynamic_update_slice(ck, new_ck, (0, 0, num_cb, 0))
-        cv = jax.lax.dynamic_update_slice(cv, new_cv, (0, 0, num_cb, 0))
-        # retain the (block - stride) overlap tokens (reference: :430-437)
-        kept_k = jnp.roll(run_k, -stride, axis=2)
-        kept_v = jnp.roll(run_v, -stride, axis=2)
-        keep = jnp.arange(Bc) < overlap
-        kept_k = jnp.where(keep[None, None, :, None], kept_k, 0.0)
-        kept_v = jnp.where(keep[None, None, :, None], kept_v, 0.0)
-        return kept_k, kept_v, ck, cv
-
-    run_k, run_v, ck_cache, cv_cache = jax.lax.cond(
-        run_fill + 1 == Bc,
-        emit,
-        lambda args: args,
-        (run_k, run_v, cache.ck, cache.cv),
-    )
+        slot = jnp.clip(num_cb, 0, cache.ck.shape[2] - 1)
+        old_ck = jax.lax.dynamic_slice(
+            cache.ck, (0, 0, slot, 0), (b, kvh, 1, d)
+        )
+        old_cv = jax.lax.dynamic_slice(
+            cache.cv, (0, 0, slot, 0), (b, kvh, 1, d)
+        )
+        ck_cache = jax.lax.dynamic_update_slice(
+            cache.ck, jnp.where(emit, cand_ck, old_ck), (0, 0, slot, 0)
+        )
+        cv_cache = jax.lax.dynamic_update_slice(
+            cache.cv, jnp.where(emit, cand_cv, old_cv), (0, 0, slot, 0)
+        )
+        # retain the (block - stride) overlap tokens on emission
+        # (reference: :430-437)
+        keep = (jnp.arange(Bc) < overlap)[None, None, :, None]
+        kept_k = jnp.where(keep, jnp.roll(run_k, -stride, axis=2), 0.0)
+        kept_v = jnp.where(keep, jnp.roll(run_v, -stride, axis=2), 0.0)
+        run_k = jnp.where(emit, kept_k, run_k)
+        run_v = jnp.where(emit, kept_v, run_v)
 
     # ---- rotate and append to the main cache ------------------------------
     rq = rotate_at_offset(q[:, :, None], t, cfg.rope_theta)[:, :, 0]
@@ -389,82 +460,24 @@ def sparse_attention_decode(
     mem_k = params["mem_kv"][0].astype(q.dtype)   # [kvh, mem, d]
     mem_v = params["mem_kv"][1].astype(q.dtype)
     qg = q.reshape(b, kvh, g, d)
-    csim_mem = jnp.einsum(
-        "bhgd,hmd->bhgm", qg, mem_k, preferred_element_type=jnp.float32
-    ) * scale
-    csim_blocks = jnp.einsum(
-        "bhgd,bhjd->bhgj", qg, ck_cache, preferred_element_type=jnp.float32
-    ) * scale
-    cb_valid = jnp.arange(max_cb) < num_cb
-    csim_blocks = jnp.where(
-        cb_valid[None, None, None], csim_blocks, mask_value(jnp.float32)
-    )
-    csim = jnp.concatenate([csim_mem, csim_blocks], axis=-1)   # [b,kvh,g,mem+maxcb]
-    cattn = jax.nn.softmax(csim, axis=-1).astype(q.dtype)
-    cv_all = jnp.concatenate(
-        [jnp.broadcast_to(mem_v[None], (b, kvh, num_mem, d)), cv_cache], axis=2
-    )
-    compressed_out = jnp.einsum("bhgj,bhjd->bhgd", cattn, cv_all)
-    compressed_out = compressed_out.reshape(b, h, d)
+    if skip_compressed:
+        compressed_out = jnp.zeros((b, h, d), q.dtype)
+        csim = jnp.zeros((b, kvh, g, num_mem + max_cb), jnp.float32)
+    else:
+        compressed_out, csim = _decode_compressed(
+            qg, mem_k, mem_v, ck_cache, cv_cache, num_cb, num_mem, scale, b,
+            kvh, g, d, h, max_cb,
+        )
 
-    # ---- branch 2: fine attention ----------------------------------------
-    importance = group_importance(
-        csim.reshape(b, h, 1, -1), num_mem, g, nsa.query_heads_share_selected_kv
-    )
-    norm_scores = fine_block_scores(
-        importance, t[None], Bs, stride
-    )                                                # [b, Hs, 1, max_fine]
-    sel = select_blocks(norm_scores, nsa.num_selected_blocks, use_diff_topk=False)
-    S = sel.indices.shape[-1]
-    Hs = sel.indices.shape[1]
-
-    kb = k_cache.reshape(b, kvh, max_len // Bs, Bs, d)
-    vb = v_cache.reshape(b, kvh, max_len // Bs, Bs, d)
-    if Hs != kvh:
-        kb = repeat_kv(kb.reshape(b, kvh, -1, d), Hs // kvh).reshape(b, Hs, -1, Bs, d)
-        vb = repeat_kv(vb.reshape(b, kvh, -1, d), Hs // kvh).reshape(b, Hs, -1, Bs, d)
-
-    diag_blk = t // Bs
-    idx_aug = jnp.concatenate(
-        [sel.indices, jnp.broadcast_to(diag_blk, (b, Hs, 1, 1))], axis=-1
-    )                                                 # [b, Hs, 1, S+1]
-    fk = gather_blocks(kb, idx_aug)[:, :, 0]          # [b, Hs, S+1, Bs, d]
-    fv = gather_blocks(vb, idx_aug)[:, :, 0]
-
-    col = jnp.arange(Bs)
-    diag_cols = (diag_blk * Bs + col) <= t            # [Bs]
-    slot_mask = jnp.concatenate(
-        [
-            jnp.broadcast_to(sel.mask[:, :, 0, :, None], (b, Hs, S, Bs)),
-            jnp.broadcast_to(diag_cols[None, None, None, :], (b, Hs, 1, Bs)),
-        ],
-        axis=-2,
-    ).reshape(b, Hs, 1, (S + 1) * Bs)
-
-    rqg = rq.reshape(b, Hs, h // Hs, d)
-    fsim = jnp.einsum(
-        "bhgd,bhjd->bhgj", rqg, fk.reshape(b, Hs, -1, d),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    fsim = jnp.where(slot_mask, fsim, mask_value(jnp.float32))
-    fattn = jax.nn.softmax(fsim, axis=-1).astype(q.dtype)
-    fine_out = jnp.einsum("bhgj,bhjd->bhgd", fattn, fv.reshape(b, Hs, -1, d))
-    fine_out = fine_out.reshape(b, h, d)
-
-    # ---- branch 3: sliding window (last window+1 tokens) ------------------
-    Ws = min(window + 1, max_len)
-    start = jnp.clip(t + 1 - Ws, 0, max_len - Ws)
-    sk = jax.lax.dynamic_slice(k_cache, (0, 0, start, 0), (b, kvh, Ws, d))
-    sv = jax.lax.dynamic_slice(v_cache, (0, 0, start, 0), (b, kvh, Ws, d))
-    j_global = start + jnp.arange(Ws)
-    s_valid = (j_global <= t) & (j_global >= t - window)
-    ssim = jnp.einsum(
-        "bhgd,bhjd->bhgj", rq.reshape(b, kvh, g, d), sk,
-        preferred_element_type=jnp.float32,
-    ) * scale
-    ssim = jnp.where(s_valid[None, None, None], ssim, mask_value(jnp.float32))
-    sattn = jax.nn.softmax(ssim, axis=-1).astype(q.dtype)
-    sliding_out = jnp.einsum("bhgj,bhjd->bhgd", sattn, sv).reshape(b, h, d)
+    # ---- branches 2 + 3: one gather serves fine AND sliding ---------------
+    if skip_fine:
+        fine_out = jnp.zeros((b, h, d), q.dtype)
+        sliding_out = jnp.zeros((b, h, d), q.dtype)
+    else:
+        fine_out, sliding_out = _decode_fine_sliding(
+            cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g, d,
+            num_mem, scale, max_len,
+        )
 
     # ---- gate combine + output projection ---------------------------------
     out = _gate_combine(
@@ -477,3 +490,121 @@ def sparse_attention_decode(
         k=k_cache, v=v_cache, ck=ck_cache, cv=cv_cache, run_k=run_k, run_v=run_v
     )
     return out, new_cache
+
+
+def _decode_compressed(qg, mem_k, mem_v, ck_cache, cv_cache, num_cb, num_mem,
+                       scale, b, kvh, g, d, h, max_cb):
+    csim_mem = jnp.einsum(
+        "bhgd,hmd->bhgm", qg, mem_k, preferred_element_type=jnp.float32
+    ) * scale
+    csim_blocks = jnp.einsum(
+        "bhgd,bhjd->bhgj", qg, ck_cache, preferred_element_type=jnp.float32
+    ) * scale
+    cb_valid = jnp.arange(max_cb) < num_cb
+    csim_blocks = jnp.where(
+        cb_valid[None, None, None], csim_blocks, mask_value(jnp.float32)
+    )
+    csim = jnp.concatenate([csim_mem, csim_blocks], axis=-1)   # [b,kvh,g,mem+maxcb]
+    cattn = jax.nn.softmax(csim, axis=-1).astype(qg.dtype)
+    cv_all = jnp.concatenate(
+        [jnp.broadcast_to(mem_v[None], (b, kvh, num_mem, d)), cv_cache], axis=2
+    )
+    compressed_out = jnp.einsum("bhgj,bhjd->bhgd", cattn, cv_all)
+    compressed_out = compressed_out.reshape(b, h, d)
+    return compressed_out, csim
+
+
+def _decode_fine_sliding(cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g,
+                         d, num_mem, scale, max_len):
+    """Fine + sliding branches from ONE gathered block set.
+
+    The sliding window (last ``window + 1`` tokens) is contained in the
+    trailing ``ceil(window / Bs) + 1`` selection-size blocks ending at the
+    query's own block, and the block-causal diagonal IS that last trailing
+    block — so a single gather of ``S + n_slide`` blocks, one q.K matmul,
+    and two masked softmaxes produce both branch outputs.  This replaces a
+    separate gather + dynamic_slice pair that XLA scheduled ~3x slower.
+    """
+    nsa = cfg.nsa
+    Bs = nsa.selection_block_size
+    stride = nsa.compress_block_sliding_stride
+    window = nsa.sliding_window_size
+
+    importance = group_importance(
+        csim.reshape(b, h, 1, -1), num_mem, g, nsa.query_heads_share_selected_kv
+    )
+    norm_scores = fine_block_scores(importance, t[None], Bs, stride)
+    sel = select_blocks(norm_scores, nsa.num_selected_blocks, use_diff_topk=False)
+    S = sel.indices.shape[-1]
+    Hs = sel.indices.shape[1]
+
+    n_slide = -(-window // Bs) + 1
+    last_blk = t // Bs
+    trail = last_blk - jnp.arange(n_slide - 1, -1, -1)          # ascending
+    trail_clip = jnp.clip(trail, 0, max_len // Bs - 1)
+
+    idx_all = jnp.concatenate(
+        [
+            sel.indices[:, :, 0],                               # [b, Hs, S]
+            jnp.broadcast_to(trail_clip[None, None], (b, Hs, n_slide)),
+        ],
+        axis=-1,
+    )                                                           # [b,Hs,S+ns]
+    n_slots = S + n_slide
+
+    if cfg.attn_impl == "pallas" and Hs == kvh:
+        from .pallas.paged_gather import paged_gather
+
+        fk = paged_gather(k_cache, idx_all, Bs).reshape(b, Hs, n_slots, Bs, d)
+        fv = paged_gather(v_cache, idx_all, Bs).reshape(b, Hs, n_slots, Bs, d)
+    else:
+        kb = k_cache.reshape(b, kvh, max_len // Bs, Bs, d)
+        vb = v_cache.reshape(b, kvh, max_len // Bs, Bs, d)
+        if Hs != kvh:
+            kb = repeat_kv(kb.reshape(b, kvh, -1, d), Hs // kvh).reshape(
+                b, Hs, -1, Bs, d
+            )
+            vb = repeat_kv(vb.reshape(b, kvh, -1, d), Hs // kvh).reshape(
+                b, Hs, -1, Bs, d
+            )
+        fk = gather_blocks(kb, idx_all[:, :, None])[:, :, 0]
+        fv = gather_blocks(vb, idx_all[:, :, None])[:, :, 0]
+
+    col = jnp.arange(Bs)
+    # global positions of the trailing columns (from UNCLIPPED block ids)
+    j_trail = trail[:, None] * Bs + col[None, :]                # [ns, Bs]
+    trail_ok = (trail >= 0)[:, None]
+
+    # fine mask: selected slots (score-gated), plus causal cols of the
+    # diagonal (= last trailing) slot
+    fine_sel = jnp.broadcast_to(sel.mask[:, :, 0, :, None], (b, Hs, S, Bs))
+    fine_trail = jnp.zeros((n_slide, Bs), bool).at[-1].set(True)
+    fine_trail = fine_trail[None, None] & (j_trail <= t)[None, None] & trail_ok[None, None]
+    fine_mask = jnp.concatenate(
+        [fine_sel, jnp.broadcast_to(fine_trail, (b, Hs, n_slide, Bs))], axis=2
+    ).reshape(b, Hs, 1, n_slots * Bs)
+
+    # sliding mask: the exact band over the trailing slots
+    slide_trail = (j_trail >= t - window) & (j_trail <= t) & trail_ok
+    slide_mask = jnp.concatenate(
+        [
+            jnp.zeros((b, Hs, S, Bs), bool),
+            jnp.broadcast_to(slide_trail[None, None], (b, Hs, n_slide, Bs)),
+        ],
+        axis=2,
+    ).reshape(b, Hs, 1, n_slots * Bs)
+
+    rqg = rq.reshape(b, Hs, h // Hs, d)
+    sim = jnp.einsum(
+        "bhgd,bhjd->bhgj", rqg, fk.reshape(b, Hs, -1, d),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    fv_flat = fv.reshape(b, Hs, -1, d)
+
+    def masked_out(mask):
+        s = jnp.where(mask, sim, mask_value(jnp.float32))
+        attn = jax.nn.softmax(s, axis=-1).astype(rq.dtype)
+        return jnp.einsum("bhgj,bhjd->bhgd", attn, fv_flat).reshape(b, h, d)
+
+    return masked_out(fine_mask), masked_out(slide_mask)

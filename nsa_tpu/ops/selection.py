@@ -99,8 +99,29 @@ def fine_block_scores(
     return normed[..., 1:]
 
 
+def iterative_top_k(scores: jnp.ndarray, k: int):
+    """Top-k by k passes of (max, mask) — no sort.
+
+    For the tiny k of NSA selection (k ~ 4) this is far cheaper on the TPU
+    VPU than lax.top_k's sort-based lowering, and returns values in
+    descending order with ties broken by lowest index (same contract).
+    """
+    vals, idxs = [], []
+    cur = scores
+    for _ in range(k):
+        v = jnp.max(cur, axis=-1)
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(
+            jax.nn.one_hot(i, cur.shape[-1], dtype=bool), -jnp.inf, cur
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def select_blocks(
-    scores: jnp.ndarray, num_selected_blocks: int, use_diff_topk: bool
+    scores: jnp.ndarray, num_selected_blocks: int, use_diff_topk: bool,
+    top_k_impl: str = "iterative",
 ) -> Selection:
     """Static-width top-k over normalized fine-block scores.
 
@@ -121,7 +142,10 @@ def select_blocks(
             mask=jnp.zeros(shape, bool),
             gates=empty if use_diff_topk else None,
         )
-    vals, idx = jax.lax.top_k(scores, S)
+    if top_k_impl == "iterative" and S <= 8:
+        vals, idx = iterative_top_k(scores, S)
+    else:
+        vals, idx = jax.lax.top_k(scores, S)
     gates = straight_through(vals, 1.0) if use_diff_topk else None
     return Selection(
         indices=idx.astype(jnp.int32),
