@@ -43,7 +43,10 @@ def main():
     for name, sparse in [("sparse_mlp", True), ("full", False)]:
         cfg = reference_model_config(
             compressor="mlp", use_sparse_attn=sparse,
-        ).replace(dtype="bfloat16", attn_chunk_size=128)
+        ).replace(
+            dtype="bfloat16", attn_chunk_size=128,
+            attn_impl="pallas" if sparse else "xla",
+        )
         params = init_transformer(jax.random.PRNGKey(0), cfg)
         if cfg.dtype == "bfloat16":
             params = jax.tree_util.tree_map(

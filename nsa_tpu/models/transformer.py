@@ -44,11 +44,11 @@ from ..ops.rotary import rotate_at_offset, rotate_qk
 
 
 class KVDecodeCache(NamedTuple):
-    """Full-attention layer cache: rotated K and V (reference:
-    transformer.py:108-128)."""
+    """Full-attention layer cache: rotated K and V, packed along features
+    ([..., :d] = key, [..., d:] = value) so one cache write per step serves
+    both (reference caches them separately: transformer.py:108-128)."""
 
-    k: jnp.ndarray  # [b, kvh, max_len, d]
-    v: jnp.ndarray  # [b, kvh, max_len, d]
+    kv: jnp.ndarray  # [b, kvh, max_len, 2*d]
 
 
 LayerCache = Union[NSADecodeCache, KVDecodeCache]
@@ -132,31 +132,43 @@ def _full_attn_forward(
         return out
     max_len = return_cache_max_len
     pad = [(0, 0), (0, 0), (0, max_len - n), (0, 0)]
-    return out, KVDecodeCache(k=jnp.pad(k, pad), v=jnp.pad(v, pad))
+    return out, KVDecodeCache(
+        kv=jnp.concatenate([jnp.pad(k, pad), jnp.pad(v, pad)], axis=-1)
+    )
 
 
 def _full_attn_decode(params, cfg: ModelConfig, x, cache: KVDecodeCache, seq_len):
     b = x.shape[0]
     d, kvh, g = cfg.dim_head, cfg.kv_heads, cfg.num_grouped_queries
-    max_len = cache.k.shape[2]
+    max_len = cache.kv.shape[2]
     normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
-    q = split_heads(normed @ params["w_q"].astype(x.dtype), d)[:, :, 0]
-    k = split_heads(normed @ params["w_k"].astype(x.dtype), d)[:, :, 0]
-    v = split_heads(normed @ params["w_v"].astype(x.dtype), d)[:, :, 0]
+    # fused q/k/v projection (one matmul; weight concat is loop-invariant)
+    w_fused = jnp.concatenate(
+        [params["w_q"], params["w_k"], params["w_v"]], axis=1
+    ).astype(x.dtype)
+    proj = (normed @ w_fused)[:, 0]
+    q = proj[:, : cfg.dim_inner].reshape(b, cfg.heads, d)
+    k = proj[:, cfg.dim_inner: cfg.dim_inner + cfg.dim_kv_inner].reshape(b, kvh, d)
+    v = proj[:, cfg.dim_inner + cfg.dim_kv_inner:].reshape(b, kvh, d)
     rq = rotate_at_offset(q[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
     rk = rotate_at_offset(k[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
-    k_cache = jax.lax.dynamic_update_slice(cache.k, rk[:, :, None], (0, 0, seq_len, 0))
-    v_cache = jax.lax.dynamic_update_slice(cache.v, v[:, :, None], (0, 0, seq_len, 0))
+    kv_cache = jax.lax.dynamic_update_slice(
+        cache.kv,
+        jnp.concatenate([rk, v], axis=-1)[:, :, None],
+        (0, 0, seq_len, 0),
+    )
     sim = jnp.einsum(
-        "bhgd,bhjd->bhgj", rq.reshape(b, kvh, g, d), k_cache,
+        "bhgd,bhjd->bhgj", rq.reshape(b, kvh, g, d), kv_cache[..., :d],
         preferred_element_type=jnp.float32,
     ) * (d ** -0.5)
     valid = jnp.arange(max_len) <= seq_len
     sim = jnp.where(valid[None, None, None], sim, mask_value(jnp.float32))
     attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhgj,bhjd->bhgd", attn, v_cache).reshape(b, cfg.heads, d)
+    out = jnp.einsum(
+        "bhgj,bhjd->bhgd", attn, kv_cache[..., d:]
+    ).reshape(b, cfg.heads, d)
     out = merge_heads(out[:, :, None]) @ params["w_out"].astype(x.dtype)
-    return out, KVDecodeCache(k=k_cache, v=v_cache)
+    return out, KVDecodeCache(kv=kv_cache)
 
 
 # -- model-level entry points ---------------------------------------------
@@ -223,8 +235,8 @@ def init_model_cache(
         )
     else:
         d, kvh = cfg.dim_head, cfg.kv_heads
-        z = jnp.zeros((batch, kvh, max_len, d), dtype)
-        layers = tuple(KVDecodeCache(k=z, v=z) for _ in range(cfg.depth))
+        z = jnp.zeros((batch, kvh, max_len, 2 * d), dtype)
+        layers = tuple(KVDecodeCache(kv=z) for _ in range(cfg.depth))
     return ModelCache(layers=layers, seq_len=jnp.asarray(0, jnp.int32))
 
 

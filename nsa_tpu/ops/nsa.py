@@ -60,28 +60,37 @@ from .common import (
     split_heads,
 )
 from .compress import apply_compressor, init_compressor, split_compress_windows
-from .rotary import rotate_at_offset, rotate_qk
+from .rotary import apply_rotary, rotate_at_offset, rotate_qk
 from .selection import fine_block_scores, group_importance, select_blocks
 
 
 class NSADecodeCache(NamedTuple):
-    """Per-layer structured sparse KV cache (static shapes).
+    """Per-layer structured sparse KV cache (static shapes, packed).
 
     Mirrors the reference cache pytree ``((k_rot, v), ((ck, cv),
     (run_k, run_v)))`` (reference: native_sparse_attention.py:346-354) with
-    fixed-capacity buffers; the live lengths are derived from the model-level
-    ``seq_len`` scalar:
+    fixed-capacity buffers.  K and V are PACKED along the feature axis
+    (``[..., :d]`` = key, ``[..., d:]`` = value): one cache write and one
+    block gather per step serve both, and the 2*d=128 lane dimension tiles
+    the TPU vector layout exactly.  Live lengths derive from the
+    model-level ``seq_len`` scalar:
 
       num_cblocks = seq_len // stride
       run_fill    = overlap + seq_len - num_cblocks * stride
+
+    The reference's running raw-KV buffer (run_k/run_v, reference:
+    :418-437) is replaced by ``ring``: the last ``compress_block_size``
+    UNROTATED tokens as a simple shift register (slot j = position
+    t - Bc + 1 + j).  The emission window is exactly this ring (zero-masked
+    before the sequence start), so emission never reads the big kv cache —
+    which matters because any extra read of the carried cache buffer
+    defeats XLA's in-place dynamic-update-slice and costs a full-cache
+    copy per step.
     """
 
-    k: jnp.ndarray       # [b, kvh, max_len, d]   rotary-rotated keys
-    v: jnp.ndarray       # [b, kvh, max_len, d]
-    ck: jnp.ndarray      # [b, kvh, max_cblocks, d] compressed keys (no mem)
-    cv: jnp.ndarray      # [b, kvh, max_cblocks, d]
-    run_k: jnp.ndarray   # [b, kvh, compress_block_size, d] unrotated
-    run_v: jnp.ndarray   # [b, kvh, compress_block_size, d]
+    kv: jnp.ndarray      # [b, kvh, max_len, 2d]     rotated k ++ v
+    ckv: jnp.ndarray     # [b, kvh, max_cblocks, 2d] compressed k ++ v
+    ring: jnp.ndarray    # [b, kvh, Bc, 2d]          last Bc unrotated k ++ v
 
 
 def init_sparse_attention(key: jax.Array, cfg: ModelConfig) -> dict:
@@ -327,21 +336,18 @@ def sparse_attention_forward(
         pad[axis] = (0, size - t.shape[axis])
         return jnp.pad(t, pad)
 
-    # running (unrotated) buffer: original positions [cd - overlap, n),
-    # left zero padding when cd < overlap (reference: :605-610)
-    run_fill = n - compress_divisible + overlap
-    k_padded = jnp.pad(k, ((0, 0), (0, 0), (overlap, 0), (0, 0)))
-    v_padded = jnp.pad(v, ((0, 0), (0, 0), (overlap, 0), (0, 0)))
-    run_k = k_padded[:, :, compress_divisible:compress_divisible + run_fill]
-    run_v = v_padded[:, :, compress_divisible:compress_divisible + run_fill]
-
+    # ring: last Bc unrotated tokens, right-aligned (slot j = position
+    # n - Bc + j), zero on the left when n < Bc
+    lead = max(Bc - n, 0)
+    ring_k = jnp.pad(k[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
+    ring_v = jnp.pad(v[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
+    spare = max(nsa.num_compress_per_fine, 1)
     cache = NSADecodeCache(
-        k=pad_to(rk, max_len),
-        v=pad_to(v, max_len),
-        ck=pad_to(ck, max_cb),
-        cv=pad_to(cv, max_cb),
-        run_k=pad_to(run_k, Bc),
-        run_v=pad_to(run_v, Bc),
+        kv=jnp.concatenate([pad_to(rk, max_len), pad_to(v, max_len)], axis=-1),
+        ckv=jnp.concatenate(
+            [pad_to(ck, max_cb + spare), pad_to(cv, max_cb + spare)], axis=-1
+        ),
+        ring=jnp.concatenate([ring_k, ring_v], axis=-1),
     )
     return out, cache
 
@@ -354,10 +360,13 @@ def init_decode_cache(
     d, kvh = cfg.dim_head, cfg.kv_heads
     assert max_len % nsa.compress_block_sliding_stride == 0
     max_cb = max_len // nsa.compress_block_sliding_stride
-    z = lambda s: jnp.zeros((batch, kvh, s, d), dtype)
+    z = lambda s: jnp.zeros((batch, kvh, s, 2 * d), dtype)
+    # ckv gets num_compress_per_fine spare rows: the last row is the
+    # decode emission's trash slot, and the spare keeps the width a
+    # multiple of num_compress_per_fine for the selection pooling
+    spare = max(nsa.num_compress_per_fine, 1)
     return NSADecodeCache(
-        k=z(max_len), v=z(max_len), ck=z(max_cb), cv=z(max_cb),
-        run_k=z(nsa.compress_block_size), run_v=z(nsa.compress_block_size),
+        kv=z(max_len), ckv=z(max_cb + spare), ring=z(nsa.compress_block_size),
     )
 
 
@@ -385,8 +394,8 @@ def sparse_attention_decode(
     overlap = nsa.compress_overlap_len
     num_mem = nsa.num_compressed_mem_kv
     window = nsa.sliding_window_size
-    max_len = cache.k.shape[2]
-    max_cb = cache.ck.shape[2]
+    max_len = cache.kv.shape[2]
+    max_cb = cache.ckv.shape[2]
     max_fine = max_cb // nsa.num_compress_per_fine if nsa.num_compress_per_fine else 0
 
     t = seq_len                                   # current query position
@@ -401,104 +410,143 @@ def sparse_attention_decode(
     skip_emit = ablate in ("no_emit", "attn_only")
 
     normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
-    q = split_heads(normed @ params["w_q"].astype(normed.dtype), d)[:, :, 0]
-    k_new = split_heads(normed @ params["w_k"].astype(normed.dtype), d)[:, :, 0]
-    v_new = split_heads(normed @ params["w_v"].astype(normed.dtype), d)[:, :, 0]
 
-    # ---- update running (unrotated) compression buffer -------------------
-    run_k = jax.lax.dynamic_update_slice(
-        cache.run_k, k_new[:, :, None], (0, 0, run_fill, 0)
+    # one fused projection matmul: [q | k | v | gate]; the concatenated
+    # weight is loop-invariant so XLA hoists it out of the decode scan
+    w_fused = jnp.concatenate(
+        [params["w_q"], params["w_k"], params["w_v"], params["gate_w"]],
+        axis=1,
+    ).astype(normed.dtype)
+    proj = (normed @ w_fused)[:, 0]               # [b, h*d + 2*kvh*d + 3h]
+    qkv, gate_logits = (
+        proj[:, : cfg.dim_inner + 2 * cfg.dim_kv_inner],
+        proj[:, cfg.dim_inner + 2 * cfg.dim_kv_inner:],
     )
-    run_v = jax.lax.dynamic_update_slice(
-        cache.run_v, v_new[:, :, None], (0, 0, run_fill, 0)
+    q = qkv[:, : cfg.dim_inner].reshape(b, h, d)
+    k_new = qkv[:, cfg.dim_inner: cfg.dim_inner + cfg.dim_kv_inner].reshape(b, kvh, d)
+    v_new = qkv[:, cfg.dim_inner + cfg.dim_kv_inner:].reshape(b, kvh, d)
+
+    # ---- shift the unrotated ring buffer ---------------------------------
+    kv_new = jnp.concatenate([k_new, v_new], axis=-1)          # [b, kvh, 2d]
+    ring = jnp.concatenate(
+        [cache.ring[:, :, 1:], kv_new[:, :, None]], axis=2
     )
 
-    # Predicated (branch-free) compressed-block emission: always compress
-    # the current run buffer, but only let the result land when the buffer
-    # is exactly full.  A lax.cond here costs ~1.6 ms/step on TPU (it
-    # blocks fusion); the unconditional compressor on a [b,kvh,1,Bc,d]
-    # window is microseconds.
+    # ---- rotate (q and k in one call) and append to the main cache -------
+    rot = rotate_at_offset(
+        jnp.concatenate([q, k_new], axis=1)[:, :, None], t, cfg.rope_theta
+    )[:, :, 0]
+    rq, rk_new = rot[:, :h], rot[:, h:]
+    kv_cache = jax.lax.dynamic_update_slice(
+        cache.kv,
+        jnp.concatenate([rk_new, v_new], axis=-1)[:, :, None],
+        (0, 0, t, 0),
+    )
+
+    # ---- predicated compressed-block emission ----------------------------
+    # When the (virtual) run buffer fills — i.e. t+1 is a stride multiple —
+    # the emission window is exactly the last Bc tokens [t+1-Bc, t+1)
+    # (left-zero-padded before the sequence start).  Those rows live in the
+    # kv cache; the unrotated keys the compressor needs (reference:
+    # :377-385) are recovered by inverse rotary.  Computing the candidate
+    # unconditionally and predicating the write is cheaper here than a
+    # lax.cond (branch-call overhead dominates the tiny compressor).
     if skip_emit:
-        ck_cache, cv_cache = cache.ck, cache.cv
+        ckv_cache = cache.ckv
     else:
         emit = (run_fill + 1 == Bc)
-        cand_ck, cand_cv = _compress_kv(
-            params, cfg, run_k[:, :, None], run_v[:, :, None]
-        )  # [b, kvh, 1, d]
-        slot = jnp.clip(num_cb, 0, cache.ck.shape[2] - 1)
-        old_ck = jax.lax.dynamic_slice(
-            cache.ck, (0, 0, slot, 0), (b, kvh, 1, d)
+        # the ring now holds exactly the window [t+1-Bc, t+1); rows before
+        # the sequence start are zero-masked
+        row_pos = (t + 1 - Bc) + jnp.arange(Bc)
+        valid = (row_pos >= 0)[None, None, :, None]
+        win = jnp.where(valid, ring, 0.0)
+        new_ck, new_cv = _compress_kv(
+            params, cfg, win[:, :, None, :, :d], win[:, :, None, :, d:]
+        )  # [b, kvh, 1, d] each
+        cand = jnp.concatenate([new_ck, new_cv], axis=-1)
+        # the ckv buffer carries spare trailing rows: when not emitting,
+        # the candidate lands in the last (never-read) trash row instead of
+        # requiring an old-value read + select
+        trash = cache.ckv.shape[2] - 1
+        slot = jnp.where(emit, jnp.clip(num_cb, 0, trash), trash)
+        ckv_cache = jax.lax.dynamic_update_slice(
+            cache.ckv, cand, (0, 0, slot, 0)
         )
-        old_cv = jax.lax.dynamic_slice(
-            cache.cv, (0, 0, slot, 0), (b, kvh, 1, d)
-        )
-        ck_cache = jax.lax.dynamic_update_slice(
-            cache.ck, jnp.where(emit, cand_ck, old_ck), (0, 0, slot, 0)
-        )
-        cv_cache = jax.lax.dynamic_update_slice(
-            cache.cv, jnp.where(emit, cand_cv, old_cv), (0, 0, slot, 0)
-        )
-        # retain the (block - stride) overlap tokens on emission
-        # (reference: :430-437)
-        keep = (jnp.arange(Bc) < overlap)[None, None, :, None]
-        kept_k = jnp.where(keep, jnp.roll(run_k, -stride, axis=2), 0.0)
-        kept_v = jnp.where(keep, jnp.roll(run_v, -stride, axis=2), 0.0)
-        run_k = jnp.where(emit, kept_k, run_k)
-        run_v = jnp.where(emit, kept_v, run_v)
 
-    # ---- rotate and append to the main cache ------------------------------
-    rq = rotate_at_offset(q[:, :, None], t, cfg.rope_theta)[:, :, 0]
-    rk_new = rotate_at_offset(k_new[:, :, None], t, cfg.rope_theta)[:, :, 0]
-    k_cache = jax.lax.dynamic_update_slice(
-        cache.k, rk_new[:, :, None], (0, 0, t, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        cache.v, v_new[:, :, None], (0, 0, t, 0)
-    )
-
-    # ---- branch 1: compressed attention (unrotated q) --------------------
-    mem_k = params["mem_kv"][0].astype(q.dtype)   # [kvh, mem, d]
-    mem_v = params["mem_kv"][1].astype(q.dtype)
+    # ---- branches 1 + 2 + 3 ----------------------------------------------
     qg = q.reshape(b, kvh, g, d)
-    if skip_compressed:
-        compressed_out = jnp.zeros((b, h, d), q.dtype)
-        csim = jnp.zeros((b, kvh, g, num_mem + max_cb), jnp.float32)
-    else:
-        compressed_out, csim = _decode_compressed(
-            qg, mem_k, mem_v, ck_cache, cv_cache, num_cb, num_mem, scale, b,
-            kvh, g, d, h, max_cb,
-        )
+    use_decode_kernels = (
+        cfg.attn_impl == "pallas"
+        and nsa.query_heads_share_selected_kv
+        and nsa.num_compress_per_fine > 1
+        and num_mem == 1
+        and b % min(16, b) == 0
+    )
+    if skip_compressed or skip_fine:
+        use_decode_kernels = False
 
-    # ---- branches 2 + 3: one gather serves fine AND sliding ---------------
-    if skip_fine:
-        fine_out = jnp.zeros((b, h, d), q.dtype)
-        sliding_out = jnp.zeros((b, h, d), q.dtype)
-    else:
-        fine_out, sliding_out = _decode_fine_sliding(
-            cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g, d,
-            num_mem, scale, max_len,
+    if use_decode_kernels:
+        from .pallas.nsa_decode import decode_attend, decode_select
+
+        S_k = nsa.num_selected_blocks
+        n_slide = -(-window // Bs) + 1
+        c_out4, idx_all, msk = decode_select(
+            qg, ckv_cache, params["mem_kv"].astype(qg.dtype), t, num_cb,
+            max_blocks=max_len // Bs,
+            stride=stride, sel_block=Bs, window=window, num_sel=S_k,
+            n_slide=n_slide, scale=scale,
         )
+        kvb = kv_cache.reshape(b, kvh, max_len // Bs, Bs, 2 * d)
+        fkv = gather_blocks(kvb, idx_all[:, :, None])[:, :, 0]
+        fkv = fkv.reshape(b, kvh, (S_k + n_slide) * Bs, 2 * d)
+        f_out4, s_out4 = decode_attend(
+            rq.reshape(b, kvh, g, d), fkv, msk, t,
+            sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
+            scale=scale,
+        )
+        compressed_out = c_out4.reshape(b, h, d)
+        fine_out = f_out4.reshape(b, h, d)
+        sliding_out = s_out4.reshape(b, h, d)
+    else:
+        if skip_compressed:
+            compressed_out = jnp.zeros((b, h, d), q.dtype)
+            csim = jnp.zeros((b, kvh, g, num_mem + max_cb), jnp.float32)
+        else:
+            compressed_out, csim = _decode_compressed(
+                params, qg, ckv_cache, num_cb, num_mem, scale, b, kvh, g, d,
+                h, max_cb,
+            )
+        if skip_fine:
+            fine_out = jnp.zeros((b, h, d), q.dtype)
+            sliding_out = jnp.zeros((b, h, d), q.dtype)
+        else:
+            fine_out, sliding_out = _decode_fine_sliding(
+                cfg, csim, rq, kv_cache, t, b, h, kvh, g, d, num_mem, scale,
+                max_len,
+            )
 
     # ---- gate combine + output projection ---------------------------------
-    out = _gate_combine(
-        params, cfg, normed,
-        [compressed_out[:, :, None], fine_out[:, :, None], sliding_out[:, :, None]],
-    )
-    out = merge_heads(out) @ params["w_out"].astype(x.dtype)
+    gates = jax.nn.sigmoid(
+        gate_logits + params["gate_b"].astype(gate_logits.dtype)
+    ).reshape(b, h, 3)
+    stacked = jnp.stack([compressed_out, fine_out, sliding_out], axis=-1)
+    out = jnp.einsum("bhs,bhds->bhd", gates.astype(stacked.dtype), stacked)
+    out = out.reshape(b, 1, h * d) @ params["w_out"].astype(x.dtype)
 
-    new_cache = NSADecodeCache(
-        k=k_cache, v=v_cache, ck=ck_cache, cv=cv_cache, run_k=run_k, run_v=run_v
-    )
+    new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring)
     return out, new_cache
 
 
-def _decode_compressed(qg, mem_k, mem_v, ck_cache, cv_cache, num_cb, num_mem,
-                       scale, b, kvh, g, d, h, max_cb):
+def _decode_compressed(params, qg, ckv_cache, num_cb, num_mem, scale, b, kvh,
+                       g, d, h, max_cb):
+    mem_k = params["mem_kv"][0].astype(qg.dtype)   # [kvh, mem, d]
+    mem_v = params["mem_kv"][1].astype(qg.dtype)
     csim_mem = jnp.einsum(
         "bhgd,hmd->bhgm", qg, mem_k, preferred_element_type=jnp.float32
     ) * scale
     csim_blocks = jnp.einsum(
-        "bhgd,bhjd->bhgj", qg, ck_cache, preferred_element_type=jnp.float32
+        "bhgd,bhjd->bhgj", qg, ckv_cache[..., :d],
+        preferred_element_type=jnp.float32,
     ) * scale
     cb_valid = jnp.arange(max_cb) < num_cb
     csim_blocks = jnp.where(
@@ -507,23 +555,24 @@ def _decode_compressed(qg, mem_k, mem_v, ck_cache, cv_cache, num_cb, num_mem,
     csim = jnp.concatenate([csim_mem, csim_blocks], axis=-1)   # [b,kvh,g,mem+maxcb]
     cattn = jax.nn.softmax(csim, axis=-1).astype(qg.dtype)
     cv_all = jnp.concatenate(
-        [jnp.broadcast_to(mem_v[None], (b, kvh, num_mem, d)), cv_cache], axis=2
+        [jnp.broadcast_to(mem_v[None], (b, kvh, num_mem, d)),
+         ckv_cache[..., d:]],
+        axis=2,
     )
     compressed_out = jnp.einsum("bhgj,bhjd->bhgd", cattn, cv_all)
     compressed_out = compressed_out.reshape(b, h, d)
     return compressed_out, csim
 
 
-def _decode_fine_sliding(cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g,
-                         d, num_mem, scale, max_len):
+def _decode_fine_sliding(cfg, csim, rq, kv_cache, t, b, h, kvh, g, d,
+                         num_mem, scale, max_len):
     """Fine + sliding branches from ONE gathered block set.
 
     The sliding window (last ``window + 1`` tokens) is contained in the
     trailing ``ceil(window / Bs) + 1`` selection-size blocks ending at the
     query's own block, and the block-causal diagonal IS that last trailing
-    block — so a single gather of ``S + n_slide`` blocks, one q.K matmul,
-    and two masked softmaxes produce both branch outputs.  This replaces a
-    separate gather + dynamic_slice pair that XLA scheduled ~3x slower.
+    block — so a single gather of ``S + n_slide`` packed KV blocks, one q.K
+    matmul, and two masked softmaxes produce both branch outputs.
     """
     nsa = cfg.nsa
     Bs = nsa.selection_block_size
@@ -555,20 +604,15 @@ def _decode_fine_sliding(cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g,
     if cfg.attn_impl == "pallas" and Hs == kvh:
         from .pallas.paged_gather import paged_gather
 
-        fk = paged_gather(k_cache, idx_all, Bs).reshape(b, Hs, n_slots, Bs, d)
-        fv = paged_gather(v_cache, idx_all, Bs).reshape(b, Hs, n_slots, Bs, d)
+        fkv = paged_gather(kv_cache, idx_all, Bs)               # [b,Hs,J,2d]
     else:
-        kb = k_cache.reshape(b, kvh, max_len // Bs, Bs, d)
-        vb = v_cache.reshape(b, kvh, max_len // Bs, Bs, d)
+        kvb = kv_cache.reshape(b, kvh, max_len // Bs, Bs, 2 * d)
         if Hs != kvh:
-            kb = repeat_kv(kb.reshape(b, kvh, -1, d), Hs // kvh).reshape(
-                b, Hs, -1, Bs, d
+            kvb = repeat_kv(kvb.reshape(b, kvh, -1, 2 * d), Hs // kvh).reshape(
+                b, Hs, -1, Bs, 2 * d
             )
-            vb = repeat_kv(vb.reshape(b, kvh, -1, d), Hs // kvh).reshape(
-                b, Hs, -1, Bs, d
-            )
-        fk = gather_blocks(kb, idx_all[:, :, None])[:, :, 0]
-        fv = gather_blocks(vb, idx_all[:, :, None])[:, :, 0]
+        fkv = gather_blocks(kvb, idx_all[:, :, None])[:, :, 0]
+        fkv = fkv.reshape(b, Hs, n_slots * Bs, 2 * d)
 
     col = jnp.arange(Bs)
     # global positions of the trailing columns (from UNCLIPPED block ids)
@@ -596,11 +640,11 @@ def _decode_fine_sliding(cfg, csim, rq, k_cache, v_cache, t, b, h, kvh, g,
 
     rqg = rq.reshape(b, Hs, h // Hs, d)
     sim = jnp.einsum(
-        "bhgd,bhjd->bhgj", rqg, fk.reshape(b, Hs, -1, d),
+        "bhgd,bhjd->bhgj", rqg, fkv[..., :d],
         preferred_element_type=jnp.float32,
     ) * scale
 
-    fv_flat = fv.reshape(b, Hs, -1, d)
+    fv_flat = fkv[..., d:]
 
     def masked_out(mask):
         s = jnp.where(mask, sim, mask_value(jnp.float32))

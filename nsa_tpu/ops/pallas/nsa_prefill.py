@@ -83,11 +83,12 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref, *,
         # fine mask: selected-by-this-row OR block-causal diagonal
         sel_hit = jnp.zeros((R, block_k), jnp.bool_)
         for si in range(num_sel):
-            # row-wise selected block id, expanded over G query heads
-            idx_s = sel_idx[:, si]             # [Tq]
-            msk_s = sel_msk[:, si] != 0        # [Tq]
-            idx_rows = jnp.tile(idx_s, (G,))[:, None]     # [R, 1]
-            msk_rows = jnp.tile(msk_s, (G,))[:, None]
+            # row-wise selected block id, expanded over the G query heads
+            # (2-D concatenation: Mosaic rejects 1-D tile/reshape here)
+            idx_s = sel_idx[:, si:si + 1]                 # [Tq, 1]
+            msk_s = sel_msk[:, si:si + 1] != 0            # [Tq, 1]
+            idx_rows = jnp.concatenate([idx_s] * G, axis=0)   # [R, 1]
+            msk_rows = jnp.concatenate([msk_s] * G, axis=0)
             sel_hit = sel_hit | ((k_blk_id == idx_rows) & msk_rows)
         fine_ok = causal & (sel_hit | (k_blk_id == q_blk))
 

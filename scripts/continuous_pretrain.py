@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Continuous pretraining (mid-training) on the CS441 QA byte stream.
+
+The reference planned this stage but left it empty (reference:
+continuous_pretrain/continuous_pretrain.py is 0 lines; readme.md:105-106
+describes middle-training on the CS441 synthetic data).  Implemented here:
+resume a pretrained checkpoint and continue training on the QA byte
+serialization (optionally mixed with the original corpus to reduce
+forgetting).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_tpu.config import DataConfig, TrainConfig
+from nsa_tpu.models.transformer import init_transformer
+from nsa_tpu.train.data import load_byte_corpus, load_cs441_qa_bytes
+from nsa_tpu.train.pretrain import eval_step, make_optimizer, train_step
+from nsa_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    model_config_from_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from nsa_tpu.utils.metrics import MetricsLogger
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt-dir", required=True,
+                   help="pretrained checkpoint dir to continue from")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--num-batches", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=512)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--mix-original", type=float, default=0.5,
+                   help="fraction of each batch drawn from the original corpus")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    ckpt = latest_checkpoint(args.ckpt_dir)
+    assert ckpt, f"no checkpoint under {args.ckpt_dir}"
+    cfg = model_config_from_checkpoint(ckpt)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    state, meta = restore_checkpoint(ckpt, {"params": params})
+    params = state["params"]
+    print(f"continuing from {ckpt} (step {meta['step']})")
+
+    qa = load_cs441_qa_bytes(split="train")
+    corpus, _ = load_byte_corpus(DataConfig())
+    print(f"QA bytes: {len(qa):,}; corpus bytes: {len(corpus):,}")
+
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr,
+        seq_len=args.seq_len, grad_accum_every=1,
+    )
+    optimizer = make_optimizer(train_cfg)
+    opt_state = optimizer.init(params)
+    out_dir = args.out_dir or (args.ckpt_dir.rstrip("/") + "_cpt")
+    logger = MetricsLogger(csv_path=os.path.join(out_dir, "cpt_log.csv"))
+
+    rng = np.random.RandomState(args.seed)
+    n_mix = int(args.batch_size * args.mix_original)
+
+    def sample(data, count):
+        # wrap-around crops so short corpora still fill a window
+        starts = rng.randint(0, max(len(data) - 2, 1), size=count)
+        idx = (starts[:, None] + np.arange(args.seq_len + 1)[None, :]) % len(data)
+        return data[idx].astype(np.int32)
+
+    loss = float("nan")
+    for step in range(args.num_batches):
+        batch = np.concatenate([
+            sample(qa, args.batch_size - n_mix),
+            sample(corpus, n_mix) if n_mix else
+            np.zeros((0, args.seq_len + 1), np.int32),
+        ])
+        params, opt_state, loss_dev = train_step(
+            params, opt_state, jnp.asarray(batch)[None], cfg, optimizer, 1
+        )
+        loss = float(loss_dev)
+        if step % 20 == 0:
+            logger.log(step, cpt_loss=loss)
+
+    path = save_checkpoint(out_dir, meta["step"] + args.num_batches, params,
+                           opt_state, cfg, extra={"loss": loss,
+                                                  "continuous_pretrain": True})
+    print(f"saved: {path}")
+
+
+if __name__ == "__main__":
+    main()

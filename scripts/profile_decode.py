@@ -51,7 +51,9 @@ def time_step(params, cfg, max_len=4096):
 
 
 def main():
-    cfg = reference_model_config("mlp").replace(dtype="bfloat16")
+    import sys
+    impl = "pallas" if "--pallas" in sys.argv else "xla"
+    cfg = reference_model_config("mlp").replace(dtype="bfloat16", attn_impl=impl)
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
 
@@ -63,6 +65,8 @@ def main():
     print(f"full step: {ms:.3f} ms  ({BATCH/ms*1000:.0f} tok/s)")
 
     # ablations: patch sparse_attention_decode wrapper pieces via env flags
+    if "--full-only" in sys.argv:
+        return
     for name in ["no_fine", "no_compressed", "no_emit", "attn_only"]:
         os.environ["NSA_ABLATE"] = name
         try:

@@ -27,8 +27,9 @@ TRACE_DIR = "/tmp/jax_decode_trace"
 
 def main():
     sparse = "--full" not in sys.argv
+    impl = "pallas" if "--pallas" in sys.argv else "xla"
     cfg = reference_model_config("mlp", use_sparse_attn=sparse).replace(
-        dtype="bfloat16"
+        dtype="bfloat16", attn_impl=impl
     )
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
@@ -57,7 +58,7 @@ def main():
     print("xplane:", xplanes)
     if not xplanes:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from xprof.convert import raw_to_tool_data
 
     for tool in ["framework_op_stats", "op_profile"]:
         try:

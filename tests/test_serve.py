@@ -1,0 +1,99 @@
+"""Continuous-batching engine tests: engine output must equal the plain
+cached sampler, including with bucketed prefill + teacher-forced prompt
+tails and with staggered concurrent requests."""
+
+import jax
+import numpy as np
+import pytest
+
+from nsa_tpu.config import tiny_test_config
+from nsa_tpu.models.transformer import init_transformer, transformer_sample
+from nsa_tpu.serve import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["sparse", "full"])
+def model(request):
+    cfg = tiny_test_config(use_sparse_attn=request.param)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def reference_sample(params, cfg, prompt, gen_len):
+    import jax.numpy as jnp
+
+    out = transformer_sample(
+        params, cfg, jnp.asarray(prompt)[None], gen_len, temperature=0.0
+    )
+    return np.asarray(out)[0]
+
+
+class TestEngine:
+    def test_single_request_matches_sampler(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 10, dtype=np.int32)  # length 9 > bucket 8
+        want = reference_sample(params, cfg, prompt, 6)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16)
+        )
+        rid = eng.add_request(prompt, max_new_tokens=6)
+        outs = eng.run()
+        np.testing.assert_array_equal(outs[rid], want)
+
+    def test_exact_bucket_prompt(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 9, dtype=np.int32)  # length 8 == bucket
+        want = reference_sample(params, cfg, prompt, 5)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=64, prefill_buckets=(8,)
+        )
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        outs = eng.run()
+        np.testing.assert_array_equal(outs[rid], want)
+
+    def test_concurrent_requests_isolated(self, model):
+        cfg, params = model
+        prompts = [
+            np.arange(1, 10, dtype=np.int32),
+            np.arange(40, 52, dtype=np.int32),
+            np.arange(90, 98, dtype=np.int32),
+        ]
+        wants = [reference_sample(params, cfg, p, 5) for p in prompts]
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16)
+        )
+        rids = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+        outs = eng.run()
+        for rid, want in zip(rids, wants):
+            np.testing.assert_array_equal(outs[rid], want)
+
+    def test_continuous_admission(self, model):
+        """A request added mid-flight completes correctly."""
+        cfg, params = model
+        p1 = np.arange(1, 10, dtype=np.int32)
+        p2 = np.arange(30, 41, dtype=np.int32)
+        w1 = reference_sample(params, cfg, p1, 8)
+        w2 = reference_sample(params, cfg, p2, 4)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16)
+        )
+        r1 = eng.add_request(p1, max_new_tokens=8)
+        for _ in range(3):
+            eng.step()
+        r2 = eng.add_request(p2, max_new_tokens=4)
+        outs = eng.run()
+        np.testing.assert_array_equal(outs[r1], w1)
+        np.testing.assert_array_equal(outs[r2], w2)
+
+    def test_stop_byte(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 9, dtype=np.int32)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=64, prefill_buckets=(8,)
+        )
+        full = reference_sample(params, cfg, prompt, 8)
+        stop = int(full[2])  # force an early stop at the 3rd token
+        rid = eng.add_request(prompt, max_new_tokens=8, stop_byte=stop)
+        outs = eng.run()
+        assert len(outs[rid]) <= 8
+        np.testing.assert_array_equal(outs[rid], full[: len(outs[rid])])
