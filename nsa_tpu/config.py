@@ -35,7 +35,8 @@ class NSAConfig:
     num_compressed_mem_kv: int = 1
     # 'mlp' (GroupedMLP), 'conv' (grouped conv), 'attn' (attention pool),
     # 'mean' (parameter-free mean pool), 'shared_mlp' (the reference's
-    # default inline MLP), 'single' (single projection).
+    # default inline MLP), 'single' (single projection), 'transformer'
+    # (stacked mini-transformer with last-token readout).
     compressor: str = "mlp"
     compress_mlp_expand_factor: float = 1.0
     use_diff_topk: bool = True
@@ -81,6 +82,9 @@ class ModelConfig:
     heads: int = 8
     kv_heads: int = 4
     ff_expansion_factor: float = 4.0
+    # 'gelu' (reference byte-GPT: Linear-GELU-Linear with bias) or
+    # 'swiglu' (Llama-style gated FF, no bias; used by imported HF models)
+    ff_kind: str = "gelu"
     causal: bool = True
     use_sparse_attn: bool = True
     nsa: NSAConfig = field(default_factory=NSAConfig)

@@ -108,6 +108,10 @@ def init_transformer(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def _ff_apply(params, cfg: ModelConfig, x):
     h = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    if cfg.ff_kind == "swiglu":
+        gate = jax.nn.silu(h @ params["w1"].astype(h.dtype))
+        up = h @ params["w3"].astype(h.dtype)
+        return (gate * up) @ params["w2"].astype(h.dtype)
     h = jax.nn.gelu(
         h @ params["w1"].astype(h.dtype) + params["b1"].astype(h.dtype),
         approximate=False,

@@ -109,6 +109,36 @@ def init_compressor(
         dim_in = dim_head * block
         return {"w": _uniform(keys[0], (dim_in, dim_head), dim_in)}
 
+    if kind == "transformer":
+        # stacked mini-transformer over the window tokens with last-token
+        # readout (reference: compress_networks.py:227-269).  Heads are
+        # mixed into one model dim = kv_heads * dim_head, so this
+        # compressor is replicated (not head-sharded) under TP.
+        dim = kv_heads * dim_head
+        hidden = dim * 4
+        num_layers = 2
+        layers = []
+        lk = jax.random.split(keys[0], num_layers)
+        for i in range(num_layers):
+            ks = jax.random.split(lk[i], 8)
+            layers.append({
+                "norm1": jnp.ones((dim,), jnp.float32),
+                "norm2": jnp.ones((dim,), jnp.float32),
+                "w_q": _uniform(ks[0], (dim, dim), dim),
+                "b_q": _uniform(ks[1], (dim,), dim),
+                "w_k": _uniform(ks[2], (dim, dim), dim),
+                "b_k": _uniform(ks[3], (dim,), dim),
+                "w_v": _uniform(ks[4], (dim, dim), dim),
+                "b_v": _uniform(ks[5], (dim,), dim),
+                "w_o": _uniform(ks[6], (dim, dim), dim),
+                "b_o": jnp.zeros((dim,), jnp.float32),
+                "w_f1": _uniform(ks[7], (dim, hidden), dim),
+                "b_f1": jnp.zeros((hidden,), jnp.float32),
+                "w_f2": _uniform(jax.random.fold_in(lk[i], 9), (hidden, dim), hidden),
+                "b_f2": jnp.zeros((dim,), jnp.float32),
+            })
+        return {"layers": layers}
+
     raise ValueError(f"unknown compressor '{kind}'")
 
 
@@ -166,4 +196,57 @@ def apply_compressor(
         flat = kv.reshape(b, h, w, n * d)
         return flat @ params["w"].astype(dtype)
 
+    if kind == "transformer":
+        return _compress_transformer(params, kv)
+
     raise ValueError(f"unknown compressor '{kind}'")
+
+
+def _rms(x, scale, eps=1e-6):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps) *
+            scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _compress_transformer(params, kv):
+    """Mini-transformer over window tokens, last-token readout
+    (reference: compress_networks.py:227-269)."""
+    b, h, w, n, d = kv.shape
+    dim = h * d
+    num_heads = h
+    dh = dim // num_heads
+    # [b, h, w, n, d] -> [(b w), n, (h d)]
+    x = kv.transpose(0, 2, 3, 1, 4).reshape(b * w, n, dim)
+    layers = params["layers"]
+
+    def attn(p, inp):
+        q = (inp @ p["w_q"].astype(inp.dtype) + p["b_q"].astype(inp.dtype))
+        k = (inp @ p["w_k"].astype(inp.dtype) + p["b_k"].astype(inp.dtype))
+        v = (inp @ p["w_v"].astype(inp.dtype) + p["b_v"].astype(inp.dtype))
+        bw = inp.shape[0]
+        def split(t):
+            return t.reshape(bw, n, num_heads, dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32) * dh ** -0.5
+        a = jax.nn.softmax(sim, -1).astype(inp.dtype)
+        o = jnp.einsum("bhij,bhjd->bhid", a, v)
+        o = o.transpose(0, 2, 1, 3).reshape(bw, n, dim)
+        return o @ p["w_o"].astype(inp.dtype) + p["b_o"].astype(inp.dtype)
+
+    def ff(p, inp):
+        hmid = jax.nn.gelu(
+            inp @ p["w_f1"].astype(inp.dtype) + p["b_f1"].astype(inp.dtype),
+            approximate=False,
+        )
+        return hmid @ p["w_f2"].astype(inp.dtype) + p["b_f2"].astype(inp.dtype)
+
+    for p in layers[:-1]:
+        x = x + attn(p, _rms(x, p["norm1"]))
+        x = x + ff(p, _rms(x, p["norm2"]))
+    last = layers[-1]
+    x = x + attn(last, _rms(x, last["norm1"]))
+    tok = x[:, -1]                                   # last-token readout
+    tok = tok + ff(last, _rms(tok[:, None], last["norm2"]))[:, 0]
+    # [(b w), dim] -> [b, h, w, d]
+    return tok.reshape(b, w, h, d).transpose(0, 2, 1, 3)

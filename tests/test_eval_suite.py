@@ -74,3 +74,47 @@ class TestDataCollection:
         b = load_cs441_qa_bytes()
         text = bytes(b).decode()
         assert "\nAnswer: " in text and text.endswith("\n\n")
+
+
+class TestVisualize:
+    def test_plotters_produce_pngs(self, tmp_path):
+        import csv as _csv
+
+        from nsa_tpu.eval.visualize import (
+            plot_efficiency,
+            plot_ppl,
+            plot_train_loss,
+            ppl_markdown_table,
+        )
+
+        ppl_csv = tmp_path / "ppl.csv"
+        with open(ppl_csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["model_type", "seq_len", "ppl_id", "ppl_ood"])
+            w.writeheader()
+            w.writerow({"model_type": "full", "seq_len": 512, "ppl_id": 3.1, "ppl_ood": 5.6})
+            w.writerow({"model_type": "sparse_mlp", "seq_len": 512, "ppl_id": 3.2, "ppl_ood": 5.7})
+        eff_csv = tmp_path / "eff.csv"
+        with open(eff_csv, "w", newline="") as f:
+            cols = ["model_type", "batch_size", "prompt_len",
+                    "prefill_tokens_per_s", "decode_tokens_per_s",
+                    "kv_cache_saving_ratio"]
+            w = _csv.DictWriter(f, fieldnames=cols)
+            w.writeheader()
+            for m in ("full", "sparse_mlp"):
+                for pl_ in (500, 2000):
+                    w.writerow({"model_type": m, "batch_size": 8, "prompt_len": pl_,
+                                "prefill_tokens_per_s": 1e5, "decode_tokens_per_s": 2e4,
+                                "kv_cache_saving_ratio": 0.9})
+        loss_csv = tmp_path / "loss.csv"
+        with open(loss_csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["step", "time_s", "loss"])
+            w.writeheader()
+            for i in range(30):
+                w.writerow({"step": i, "time_s": i, "loss": 3.0 - i * 0.01})
+
+        assert "| full |" in ppl_markdown_table(str(ppl_csv))
+        p1 = plot_ppl(str(ppl_csv), str(tmp_path / "ppl.png"))
+        p2 = plot_efficiency(str(eff_csv), str(tmp_path / "eff.png"))
+        p3 = plot_train_loss({"full": str(loss_csv)}, str(tmp_path / "loss.png"))
+        import os as _os
+        assert all(_os.path.getsize(p) > 1000 for p in (p1, p2, p3))

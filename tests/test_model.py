@@ -110,3 +110,22 @@ class TestSample:
             nxt = int(np.argmax(np.asarray(logits)[0, -1]))
             ids = np.concatenate([ids, [[nxt]]], axis=1)
         np.testing.assert_array_equal(got[0], ids[0, 7:])
+
+
+class TestSwiGLU:
+    def test_swiglu_ff_forward(self):
+        import jax.numpy as jnp
+        from nsa_tpu.models.transformer import _ff_apply
+
+        cfg = tiny_test_config(ff_kind="swiglu")
+        dim, hidden = cfg.dim, int(cfg.dim * cfg.ff_expansion_factor)
+        params = {
+            "norm_scale": jnp.ones((dim,)),
+            "w1": jax.random.normal(jax.random.PRNGKey(0), (dim, hidden)) * 0.02,
+            "w3": jax.random.normal(jax.random.PRNGKey(1), (dim, hidden)) * 0.02,
+            "w2": jax.random.normal(jax.random.PRNGKey(2), (hidden, dim)) * 0.02,
+        }
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, dim))
+        out = _ff_apply(params, cfg, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()

@@ -94,7 +94,7 @@ class TestWindows:
 
 class TestCompressors:
     @pytest.mark.parametrize(
-        "kind", ["mlp", "conv", "attn", "mean", "shared_mlp", "single"]
+        "kind", ["mlp", "conv", "attn", "mean", "shared_mlp", "single", "transformer"]
     )
     def test_shapes_and_grads(self, kind):
         nsa = NSAConfig(
