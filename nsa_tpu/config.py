@@ -130,6 +130,10 @@ class TrainConfig:
     learning_rate: float = 1e-4
     grad_clip_norm: float = 0.5
     seq_len: int = 4096
+    # host readback cadence: a device->host scalar fetch costs up to
+    # seconds through the remote-TPU tunnel, so loss is only materialized
+    # every log_every steps (early stopping is checked at the same cadence)
+    log_every: int = 20
     validate_every: int = 100
     generate_every: int = 500
     generate_length: int = 512

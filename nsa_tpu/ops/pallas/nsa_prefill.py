@@ -46,7 +46,24 @@ from ..common import round_up_mult
 NEG_INF = -1e30
 
 
-def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref, *,
+def _masks(row_pos, q_blk, k_pos, k_blk_id, sel_idx, sel_msk, G, num_sel,
+           window, n_k):
+    """Recompute the fine/sliding masks for one (q tile, k tile) pair."""
+    causal = (row_pos >= k_pos) & (k_pos < n_k)
+    sel_hit = jnp.zeros(row_pos.shape, jnp.bool_)
+    for si in range(num_sel):
+        idx_s = sel_idx[:, si:si + 1]                     # [Tq, 1]
+        msk_s = sel_msk[:, si:si + 1] != 0
+        idx_rows = jnp.concatenate([idx_s] * G, axis=0)   # [R, 1]
+        msk_rows = jnp.concatenate([msk_s] * G, axis=0)
+        sel_hit = sel_hit | ((k_blk_id == idx_rows) & msk_rows)
+    fine_ok = causal & (sel_hit | (k_blk_id == q_blk))
+    slide_ok = causal & ((row_pos - k_pos) <= window)
+    return fine_ok, slide_ok
+
+
+def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref,
+            flse_ref, slse_ref, *,
             scale, sel_block, window, block_k, n_k, num_sel):
     """grid (b, kvh, n_q_tiles); q block [1, G, Tq, d]; k/v full rows."""
     qi = pl.program_id(2)
@@ -130,6 +147,8 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref, *,
 
     fo_ref[0, 0] = (facc / jnp.maximum(fl, 1e-30)).reshape(G, Tq, d).astype(fo_ref.dtype)
     so_ref[0, 0] = (sacc / jnp.maximum(sl, 1e-30)).reshape(G, Tq, d).astype(so_ref.dtype)
+    flse_ref[0, 0] = (fm + jnp.log(jnp.maximum(fl, 1e-30))).reshape(G, Tq)
+    slse_ref[0, 0] = (sm + jnp.log(jnp.maximum(sl, 1e-30))).reshape(G, Tq)
 
 
 def _forward(
@@ -156,7 +175,7 @@ def _forward(
                   ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
     grid = (b, kvh, n_pad // Tq)
-    fo, so = pl.pallas_call(
+    fo, so, f_lse, s_lse = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, sel_block=sel_block, window=window,
             block_k=Bk, n_k=n_k, num_sel=S,
@@ -182,10 +201,16 @@ def _forward(
             pl.BlockSpec((1, 1, G, Tq, d),
                          lambda bi, hi, qi: (bi, hi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -195,7 +220,7 @@ def _forward(
 
     fo = fo.reshape(b, h, n_pad, d)[:, :, :n]
     so = so.reshape(b, h, n_pad, d)[:, :, :n]
-    return fo, so
+    return fo, so, f_lse, s_lse
 
 
 def _oracle(rq, rk, v, sel_idx, sel_mask, gates, sel_block, window, scale,
@@ -252,6 +277,307 @@ def _oracle(rq, rk, v, sel_idx, sel_mask, gates, sel_block, window, scale,
     return fine, sliding
 
 
+# ---------------------------------------------------------------------------
+# Backward kernels (atomics-free, flash-style):
+#   dq kernel   — q-major grid, same loop structure as the forward;
+#   dkv kernel  — kv-major grid (each k tile owned by ONE program, so dk/dv
+#                 accumulate locally; the reference Triton backward needed
+#                 relaxed atomic_add here, triton_...py:1040-1133);
+#   d_gates     — accumulated in the dq kernel (the Triton kernel's
+#                 sel_grads output for differentiable top-k, :1061-1080).
+# Linearized at straight-through gate value 1.0, like the forward.
+# ---------------------------------------------------------------------------
+
+# toggle for tests: route the custom-vjp backward through the XLA oracle
+# instead of the Pallas kernels
+USE_ORACLE_BACKWARD = False
+
+
+def _dq_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
+               flse_ref, slse_ref, fdel_ref, sdel_ref, dq_ref, dg_ref, *,
+               scale, sel_block, window, block_k, n_k, num_sel, want_gates):
+    qi = pl.program_id(2)
+    _, _, G, Tq, d = q_ref.shape
+    R = G * Tq
+
+    q = q_ref[0, 0].reshape(R, d).astype(jnp.float32) * scale
+    dfo = dfo_ref[0, 0].reshape(R, d).astype(jnp.float32)
+    dso = dso_ref[0, 0].reshape(R, d).astype(jnp.float32)
+    f_lse = flse_ref[0, 0].reshape(R, 1)
+    s_lse = slse_ref[0, 0].reshape(R, 1)
+    f_del = fdel_ref[0, 0].reshape(R, 1)
+    s_del = sdel_ref[0, 0].reshape(R, 1)
+
+    row_pos = qi * Tq + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0) % Tq
+    q_blk = row_pos // sel_block
+    sel_idx = idx_ref[0, 0]
+    sel_msk = msk_ref[0, 0]
+
+    num_kb = pl.cdiv(n_k, block_k)
+    num_kb_live = jnp.minimum(num_kb, ((qi + 1) * Tq + block_k - 1) // block_k)
+
+    def body(i, carry):
+        dq_acc, dg_acc = carry
+        kblk = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_pos = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (R, block_k), 1
+        )
+        k_blk_id = k_pos // sel_block
+        fine_ok, slide_ok = _masks(
+            row_pos, q_blk, k_pos, k_blk_id, sel_idx, sel_msk, G, num_sel,
+            window, n_k,
+        )
+
+        def branch_ds(mask, lse, delta, do):
+            # clamp the exponent: padded/garbage rows have lse=-1e30 but
+            # their cotangents are zero, so dS is 0 either way
+            p = jnp.where(mask, jnp.exp(jnp.minimum(s - lse, 30.0)), 0.0)
+            dp = jax.lax.dot_general(
+                do, vblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return p * (dp - delta)
+
+        ds_f = branch_ds(fine_ok, f_lse, f_del, dfo)
+        in_band = (i + 1) * block_k > qi * Tq - window
+
+        def with_slide(args):
+            ds_f_, dq_acc_ = args
+            ds_s = branch_ds(slide_ok, s_lse, s_del, dso)
+            return ds_f_ + ds_s, dq_acc_
+
+        ds_tot, dq_acc = jax.lax.cond(
+            in_band, with_slide, lambda a: a, (ds_f, dq_acc)
+        )
+        dq_acc = dq_acc + jax.lax.dot_general(
+            ds_tot, kblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        if want_gates:
+            # d gate[slot] = sum over the slot's columns of dS_fine * s
+            prod = ds_f * s
+            for si in range(num_sel):
+                idx_s = sel_idx[:, si:si + 1]
+                msk_s = sel_msk[:, si:si + 1] != 0
+                idx_rows = jnp.concatenate([idx_s] * G, axis=0)
+                msk_rows = jnp.concatenate([msk_s] * G, axis=0)
+                hit = (k_blk_id == idx_rows) & msk_rows
+                contrib = jnp.sum(
+                    jnp.where(hit, prod, 0.0), axis=-1, keepdims=True
+                )                                              # [R, 1]
+                # reduce over the G query-head groups (static slices)
+                per_q = contrib[0:Tq]
+                for gi in range(1, G):
+                    per_q = per_q + contrib[gi * Tq:(gi + 1) * Tq]
+                dg_acc = dg_acc.at[:, si:si + 1].add(per_q)
+        return dq_acc, dg_acc
+
+    dq0 = jnp.zeros((R, d), jnp.float32)
+    dg0 = jnp.zeros((Tq, num_sel), jnp.float32)
+    dq_acc, dg_acc = jax.lax.fori_loop(0, num_kb_live, body, (dq0, dg0))
+
+    dq_ref[0, 0] = (dq_acc * scale).reshape(G, Tq, d).astype(dq_ref.dtype)
+    dg_ref[0, 0] = dg_acc.astype(dg_ref.dtype)
+
+
+def _dkv_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
+                flse_ref, slse_ref, fdel_ref, sdel_ref, dk_ref, dv_ref, *,
+                scale, sel_block, window, block_q, n_k, num_sel, n_pad):
+    ki = pl.program_id(2)
+    Bk = dk_ref.shape[2]
+    _, _, G, _, d = q_ref.shape
+    Tq = block_q
+    R = G * Tq
+
+    kblk = k_ref[0, 0].astype(jnp.float32)                 # [Bk, d]
+    vblk = v_ref[0, 0].astype(jnp.float32)
+    k_pos = ki * Bk + jax.lax.broadcasted_iota(jnp.int32, (R, Bk), 1)
+    k_blk_id = k_pos // sel_block
+
+    num_qt = n_pad // Tq
+    qt0 = (ki * Bk) // Tq                                  # first q tile ≥ diag
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        qt = q_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, d).astype(
+            jnp.float32
+        ) * scale
+        dfo = dfo_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, d).astype(
+            jnp.float32
+        )
+        f_lse = flse_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+        f_del = fdel_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+        sel_idx = idx_ref[0, 0, pl.ds(qi * Tq, Tq)]
+        sel_msk = msk_ref[0, 0, pl.ds(qi * Tq, Tq)]
+
+        row_pos = qi * Tq + jax.lax.broadcasted_iota(
+            jnp.int32, (R, Bk), 0
+        ) % Tq
+        q_blk = row_pos // sel_block
+        s = jax.lax.dot_general(
+            qt, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        fine_ok, slide_ok = _masks(
+            row_pos, q_blk, k_pos, k_blk_id, sel_idx, sel_msk, G, num_sel,
+            window, n_k,
+        )
+
+        def branch(mask, lse, delta, do):
+            p = jnp.where(mask, jnp.exp(jnp.minimum(s - lse, 30.0)), 0.0)
+            dp = jax.lax.dot_general(
+                do, vblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)
+            dv_c = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [Bk, d]
+            dk_c = jax.lax.dot_general(
+                ds, qt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [Bk, d]
+            return dk_c, dv_c
+
+        dk_f, dv_f = branch(fine_ok, f_lse, f_del, dfo)
+        dk_acc = dk_acc + dk_f
+        dv_acc = dv_acc + dv_f
+
+        in_band = qi * Tq <= ki * Bk + Bk - 1 + window
+
+        def with_slide(args):
+            dk_a, dv_a = args
+            s_lse = slse_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+            s_del = sdel_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+            dso = dso_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, d).astype(
+                jnp.float32
+            )
+            dk_s, dv_s = branch(slide_ok, s_lse, s_del, dso)
+            return dk_a + dk_s, dv_a + dv_s
+
+        dk_acc, dv_acc = jax.lax.cond(
+            in_band, with_slide, lambda a: a, (dk_acc, dv_acc)
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((Bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(qt0, num_qt, body, (z, z))
+    # no extra scale: qt was pre-scaled, so dS^T @ qt already carries it
+    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _backward_kernels(
+    rq, rk, v, sel_idx, sel_mask, fo, so, f_lse, s_lse, dfo, dso,
+    *, sel_block, window, scale, block_q, block_k, interpret,
+):
+    """Pallas backward: returns (dq [b,h,n,d], dk, dv [b,kvh,n,d],
+    dgates [b,kvh,n,S])."""
+    b, h, n, d = rq.shape
+    _, kvh, n_k, _ = rk.shape
+    G = h // kvh
+    S = sel_idx.shape[-1]
+    Tq = min(block_q, round_up_mult(n, 128))
+    Bk = min(block_k, round_up_mult(n_k, 128))
+    n_pad = round_up_mult(n, Tq)
+    nk_pad = round_up_mult(n_k, Bk)
+
+    def pad_q5(t):
+        t5 = t.reshape(b, kvh, G, n, d)
+        return jnp.pad(t5, ((0, 0),) * 3 + ((0, n_pad - n), (0, 0)))
+
+    q5 = pad_q5(rq)
+    dfo5 = pad_q5(dfo)
+    dso5 = pad_q5(dso)
+    kp = jnp.pad(rk, ((0, 0), (0, 0), (0, nk_pad - n_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - n_k), (0, 0)))
+    idx = jnp.pad(sel_idx, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    msk = jnp.pad(sel_mask.astype(jnp.int32),
+                  ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    # deltas: rowsum(o * do), cheap XLA elementwise (padded rows -> 0)
+    def delta(o, do):
+        dl = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), -1)
+        dl = dl.reshape(b, kvh, G, n)
+        return jnp.pad(dl, ((0, 0),) * 3 + ((0, n_pad - n),))
+
+    f_del = delta(fo, dfo)
+    s_del = delta(so, dso)
+
+    q_tile5 = pl.BlockSpec((1, 1, G, Tq, d),
+                           lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                           memory_space=pltpu.VMEM)
+    q_full5 = pl.BlockSpec((1, 1, G, n_pad, d),
+                           lambda bi, hi, ki: (bi, hi, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    lse_tile = pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+                            memory_space=pltpu.VMEM)
+    lse_full = pl.BlockSpec((1, 1, G, n_pad),
+                            lambda bi, hi, ki: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kv_full = pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kv_tile = pl.BlockSpec((1, 1, Bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+                           memory_space=pltpu.VMEM)
+    sel_tile = pl.BlockSpec((1, 1, Tq, S), lambda bi, hi, qi: (bi, hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    sel_full = pl.BlockSpec((1, 1, n_pad, S), lambda bi, hi, ki: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq5, dgates = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, sel_block=sel_block, window=window,
+            block_k=Bk, n_k=n_k, num_sel=S, want_gates=True,
+        ),
+        grid=(b, kvh, n_pad // Tq),
+        in_specs=[sel_tile, sel_tile, q_tile5, kv_full, kv_full,
+                  q_tile5, q_tile5, lse_tile, lse_tile, lse_tile, lse_tile],
+        out_specs=(q_tile5, sel_tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
+            jax.ShapeDtypeStruct((b, kvh, n_pad, S), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), msk, q5, kp, vp, dfo5, dso5,
+      f_lse, s_lse, f_del, s_del)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, sel_block=sel_block, window=window,
+            block_q=Tq, n_k=n_k, num_sel=S, n_pad=n_pad,
+        ),
+        grid=(b, kvh, nk_pad // Bk),
+        in_specs=[sel_full, sel_full, q_full5, kv_tile, kv_tile,
+                  q_full5, q_full5, lse_full, lse_full, lse_full, lse_full],
+        out_specs=(kv_tile, kv_tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, nk_pad, d), rk.dtype),
+            jax.ShapeDtypeStruct((b, kvh, nk_pad, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), msk, q5, kp, vp, dfo5, dso5,
+      f_lse, s_lse, f_del, s_del)
+
+    dq = dq5.reshape(b, h, n_pad, d)[:, :, :n]
+    dk = dk[:, :, :n_k]
+    dv = dv[:, :, :n_k]
+    dgates = dgates[:, :, :n]
+    return dq, dk, dv, dgates
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
@@ -267,44 +593,58 @@ def nsa_fine_sliding_attention(
 
     The kernel forward ignores ``gates`` — with straight-through top-k
     their forward value is exactly 1.0 (reference:
-    native_sparse_attention.py:148-149,715) — while the backward runs the
-    XLA oracle's VJP at the same linearization point, so gradients
-    (including d/d gates for differentiable top-k) are exact.
+    native_sparse_attention.py:148-149,715) — and the Pallas backward
+    produces dq/dk/dv plus d_gates (the selection-gradient output of the
+    reference Triton kernel) at the same linearization point.
     """
-    return _forward(
+    fo, so, _, _ = _forward(
         rq, rk, v, sel_idx, sel_mask, sel_block=sel_block, window=window,
         scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
     )
+    return fo, so
 
 
 def _fwd(rq, rk, v, sel_idx, sel_mask, gates, sel_block, window, scale,
          block_q, block_k, interpret):
-    out = _forward(
+    fo, so, f_lse, s_lse = _forward(
         rq, rk, v, sel_idx, sel_mask, sel_block=sel_block, window=window,
         scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    return out, (rq, rk, v, sel_idx, sel_mask, gates)
+    return (fo, so), (rq, rk, v, sel_idx, sel_mask, gates, fo, so,
+                      f_lse, s_lse)
 
 
 def _bwd(sel_block, window, scale, block_q, block_k, interpret,
          residuals, cotangents):
-    rq, rk, v, sel_idx, sel_mask, gates = residuals
-    if gates is None:
+    rq, rk, v, sel_idx, sel_mask, gates, fo, so, f_lse, s_lse = residuals
+    dfo, dso = cotangents
+
+    if USE_ORACLE_BACKWARD:
+        if gates is None:
+            _, vjp_fn = jax.vjp(
+                lambda q_, k_, v_: _oracle(
+                    q_, k_, v_, sel_idx, sel_mask, None, sel_block, window,
+                    scale,
+                ),
+                rq, rk, v,
+            )
+            dq, dk, dv = vjp_fn(cotangents)
+            return dq, dk, dv, None, None, None
         _, vjp_fn = jax.vjp(
-            lambda q_, k_, v_: _oracle(
-                q_, k_, v_, sel_idx, sel_mask, None, sel_block, window, scale
+            lambda q_, k_, v_, g_: _oracle(
+                q_, k_, v_, sel_idx, sel_mask, g_, sel_block, window, scale
             ),
-            rq, rk, v,
+            rq, rk, v, gates,
         )
-        dq, dk, dv = vjp_fn(cotangents)
-        return dq, dk, dv, None, None, None
-    _, vjp_fn = jax.vjp(
-        lambda q_, k_, v_, g_: _oracle(
-            q_, k_, v_, sel_idx, sel_mask, g_, sel_block, window, scale
-        ),
-        rq, rk, v, gates,
+        dq, dk, dv, dg = vjp_fn(cotangents)
+        return dq, dk, dv, None, None, dg
+
+    dq, dk, dv, dgates = _backward_kernels(
+        rq, rk, v, sel_idx, sel_mask, fo, so, f_lse, s_lse, dfo, dso,
+        sel_block=sel_block, window=window, scale=scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    dq, dk, dv, dg = vjp_fn(cotangents)
+    dg = dgates.astype(gates.dtype) if gates is not None else None
     return dq, dk, dv, None, None, dg
 
 

@@ -109,9 +109,9 @@ def run_pretrain(
         start_step = meta["step"]
         print(f"resumed from {ckpt} at step {start_step}")
 
-    n_devices = jax.local_device_count()
     loss = float("nan")
     t_start = time.time()
+    t_window = t_start
     for step in range(start_step, train_cfg.num_batches):
         batch = np.stack(
             [sample_batch(train_data, micro, seq, rng) for _ in range(accum)]
@@ -119,13 +119,19 @@ def run_pretrain(
         params, opt_state, loss_dev = train_step(
             params, opt_state, jnp.asarray(batch), model_cfg, optimizer, accum
         )
-        loss = float(loss_dev)
-        tokens_per_s = micro * accum * seq * (step - start_step + 1) / (
-            time.time() - t_start
-        )
-        logger.log(step, loss=loss, tokens_per_s=round(tokens_per_s))
+        # loss stays on device: a synchronous scalar readback costs up to
+        # seconds per call on a remote-TPU tunnel, so fetch at log cadence
+        do_log = (step + 1) % train_cfg.log_every == 0
+        if do_log:
+            loss = float(loss_dev)
+            now = time.time()
+            tokens_per_s = micro * accum * seq * train_cfg.log_every / max(
+                now - t_window, 1e-6
+            )
+            t_window = now
+            logger.log(step, loss=loss, tokens_per_s=round(tokens_per_s))
 
-        if loss <= train_cfg.early_stop_loss:
+        if do_log and loss <= train_cfg.early_stop_loss:
             print(f"early stop at step {step}: loss {loss:.4f}")
             save_checkpoint(
                 train_cfg.ckpt_dir, step + 1, params, opt_state, model_cfg,

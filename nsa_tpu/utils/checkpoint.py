@@ -37,17 +37,22 @@ def save_checkpoint(
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step:08d}")
-    state = {"params": params}
+    # params and optimizer state are separate checkpoint items so
+    # evaluation can restore params without knowing the optimizer pytree
+    items = {"params": params}
     if opt_state is not None:
-        state["opt_state"] = opt_state
+        items["opt_state"] = opt_state
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "state"), state, force=True)
+        for name, item in items.items():
+            ckptr.save(os.path.join(path, name), item, force=True)
         ckptr.wait_until_finished()
     else:  # pragma: no cover - orbax is baked in
-        flat, treedef = jax.tree_util.tree_flatten(state)
         os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "state.npz"), *[np.asarray(x) for x in flat])
+        for name, item in items.items():
+            flat, _ = jax.tree_util.tree_flatten(item)
+            np.savez(os.path.join(path, f"{name}.npz"),
+                     *[np.asarray(x) for x in flat])
     meta = {"step": step, **(extra or {})}
     if model_cfg is not None:
         meta["model_config"] = json.loads(config_to_json(model_cfg))
@@ -57,6 +62,7 @@ def save_checkpoint(
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+    directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
     steps = sorted(
@@ -69,18 +75,26 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 def restore_checkpoint(
     path: str, template: Any
 ) -> Tuple[Any, dict]:
-    """Restore ``template``-shaped state from a checkpoint path."""
+    """Restore state from a checkpoint path.
+
+    ``template`` is a dict of item-name -> pytree template; only the items
+    named in it are restored (e.g. ``{"params": params}`` for evaluation,
+    ``{"params": ..., "opt_state": ...}`` for resume).
+    """
+    path = os.path.abspath(path)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    if _HAS_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
-        state = ckptr.restore(os.path.join(path, "state"), template)
-    else:  # pragma: no cover
-        flat, treedef = jax.tree_util.tree_flatten(template)
-        data = np.load(os.path.join(path, "state.npz"))
-        state = jax.tree_util.tree_unflatten(
-            treedef, [data[k] for k in data.files]
-        )
+    state = {}
+    for name, tmpl in template.items():
+        if _HAS_ORBAX and os.path.isdir(os.path.join(path, name)):
+            ckptr = ocp.StandardCheckpointer()
+            state[name] = ckptr.restore(os.path.join(path, name), tmpl)
+        else:  # pragma: no cover
+            flat, treedef = jax.tree_util.tree_flatten(tmpl)
+            data = np.load(os.path.join(path, f"{name}.npz"))
+            state[name] = jax.tree_util.tree_unflatten(
+                treedef, [data[k] for k in data.files]
+            )
     return state, meta
 
 

@@ -60,6 +60,8 @@ def main():
     p.add_argument("--skip-ppl", action="store_true")
     p.add_argument("--skip-generate", action="store_true")
     p.add_argument("--max-id-tokens", type=int, default=200_000)
+    p.add_argument("--attn-impl", default=None,
+                   help="override attention impl (e.g. pallas) for all models")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -74,6 +76,8 @@ def main():
         name = "full_attn" if mt == "full" else f"sparse_{mt}"
         ckpt_dir = os.path.join(args.ckpt_root, f"{name}_seq{args.seq_len}")
         params, cfg, step = load_model(ckpt_dir, mt)
+        if args.attn_impl and cfg.use_sparse_attn:
+            cfg = cfg.replace(attn_impl=args.attn_impl)
         print(f"== {name} (step {step}) ==")
 
         if not args.skip_ppl:
