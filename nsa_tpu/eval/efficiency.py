@@ -34,16 +34,33 @@ from ..ops.common import round_up_mult
 from ..utils.metrics import CSVLogger
 
 
-def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
-    """Median wall time per call (seconds), post-warmup."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 5,
+             vary: Optional[int] = None) -> float:
+    """Average wall time per call (seconds), post-warmup.
+
+    ``vary`` names an int32-array argument position that is perturbed on
+    every call: the remote TPU backend short-circuits executions whose
+    program AND input buffers are identical to a previous request, which
+    silently turns repeat-timing into dispatch-only timing.  The final
+    result is materialized (tiny d2h) so in-order execution guarantees all
+    timed calls actually completed.
+    """
+    def call(i):
+        a = list(args)
+        if vary is not None:
+            a[vary] = (a[vary] + i) % 250
+        return fn(*a)
+
+    r = None
+    for i in range(warmup):
+        r = call(i)
+    if r is not None:
+        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = call(warmup + i)
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / iters
 
 
 def kv_cache_saving_ratio(cfg: ModelConfig, prompt_len: int) -> float:
@@ -60,8 +77,10 @@ def measure_prefill(params, cfg: ModelConfig, batch_size: int, prompt_len: int,
                     iters: int = 5) -> float:
     """Prefill throughput in tokens/s (full-prompt forward)."""
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
-    fwd = jax.jit(lambda i: transformer_forward(params, cfg, i))
-    dt = _time_fn(fwd, ids, iters=iters)
+    # params as jit ARGUMENTS: closed-over arrays become HLO constants and
+    # can exceed the remote-compile request size limit (HTTP 413)
+    fwd = jax.jit(lambda p, i: transformer_forward(p, cfg, i))
+    dt = _time_fn(fwd, params, ids, iters=iters, vary=1)
     return batch_size * prompt_len / dt
 
 
@@ -78,22 +97,23 @@ def measure_decode(
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
 
     prefill = jax.jit(
-        lambda i: transformer_prefill(params, cfg, i, max_len)
+        lambda p, i: transformer_prefill(p, cfg, i, max_len)
     )
-    logits, cache = jax.block_until_ready(prefill(ids))
+    logits, cache = jax.block_until_ready(prefill(params, ids))
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     @jax.jit
-    def decode_scan(first, cache):
+    def decode_scan(p, first, cache):
         def step(carry, _):
             tok, cache = carry
-            logits, cache = transformer_decode_step(params, cfg, tok, cache)
+            logits, cache = transformer_decode_step(p, cfg, tok, cache)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, cache), tok
         (_, _), toks = jax.lax.scan(step, (first, cache), None, length=gen_len)
         return toks
 
-    dt = _time_fn(decode_scan, first, cache, warmup=1, iters=iters)
+    dt = _time_fn(decode_scan, params, first, cache, warmup=1, iters=iters,
+                  vary=1)
     return batch_size * gen_len / dt
 
 
