@@ -147,8 +147,8 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref,
 
     fo_ref[0, 0] = (facc / jnp.maximum(fl, 1e-30)).reshape(G, Tq, d).astype(fo_ref.dtype)
     so_ref[0, 0] = (sacc / jnp.maximum(sl, 1e-30)).reshape(G, Tq, d).astype(so_ref.dtype)
-    flse_ref[0, 0] = (fm + jnp.log(jnp.maximum(fl, 1e-30))).reshape(G, Tq)
-    slse_ref[0, 0] = (sm + jnp.log(jnp.maximum(sl, 1e-30))).reshape(G, Tq)
+    flse_ref[0, 0] = (fm + jnp.log(jnp.maximum(fl, 1e-30))).reshape(G, Tq, 1)
+    slse_ref[0, 0] = (sm + jnp.log(jnp.maximum(sl, 1e-30))).reshape(G, Tq, 1)
 
 
 def _forward(
@@ -201,16 +201,16 @@ def _forward(
             pl.BlockSpec((1, 1, G, Tq, d),
                          lambda bi, hi, qi: (bi, hi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+            pl.BlockSpec((1, 1, G, Tq, 1), lambda bi, hi, qi: (bi, hi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+            pl.BlockSpec((1, 1, G, Tq, 1), lambda bi, hi, qi: (bi, hi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
-            jax.ShapeDtypeStruct((b, kvh, G, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, kvh, G, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -303,7 +303,7 @@ def _dq_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
     q = q_ref[0, 0].reshape(R, d).astype(jnp.float32) * scale
     dfo = dfo_ref[0, 0].reshape(R, d).astype(jnp.float32)
     dso = dso_ref[0, 0].reshape(R, d).astype(jnp.float32)
-    f_lse = flse_ref[0, 0].reshape(R, 1)
+    f_lse = flse_ref[0, 0].reshape(R, 1)   # [G, Tq, 1] -> sublane merge
     s_lse = slse_ref[0, 0].reshape(R, 1)
     f_del = fdel_ref[0, 0].reshape(R, 1)
     s_del = sdel_ref[0, 0].reshape(R, 1)
@@ -360,8 +360,11 @@ def _dq_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
         )
 
         if want_gates:
-            # d gate[slot] = sum over the slot's columns of dS_fine * s
+            # d gate[slot] = sum over the slot's columns of dS_fine * s;
+            # accumulate via whole-array add (a sliced .at[].add would
+            # lower to scatter-add, which Mosaic TC does not support)
             prod = ds_f * s
+            cols = []
             for si in range(num_sel):
                 idx_s = sel_idx[:, si:si + 1]
                 msk_s = sel_msk[:, si:si + 1] != 0
@@ -375,7 +378,8 @@ def _dq_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
                 per_q = contrib[0:Tq]
                 for gi in range(1, G):
                     per_q = per_q + contrib[gi * Tq:(gi + 1) * Tq]
-                dg_acc = dg_acc.at[:, si:si + 1].add(per_q)
+                cols.append(per_q)
+            dg_acc = dg_acc + jnp.concatenate(cols, axis=1)    # [Tq, S]
         return dq_acc, dg_acc
 
     dq0 = jnp.zeros((R, d), jnp.float32)
@@ -411,8 +415,8 @@ def _dkv_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
         dfo = dfo_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, d).astype(
             jnp.float32
         )
-        f_lse = flse_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
-        f_del = fdel_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+        f_lse = flse_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, 1)
+        f_del = fdel_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, 1)
         sel_idx = idx_ref[0, 0, pl.ds(qi * Tq, Tq)]
         sel_msk = msk_ref[0, 0, pl.ds(qi * Tq, Tq)]
 
@@ -454,8 +458,8 @@ def _dkv_kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, dfo_ref, dso_ref,
 
         def with_slide(args):
             dk_a, dv_a = args
-            s_lse = slse_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
-            s_del = sdel_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, 1)
+            s_lse = slse_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, 1)
+            s_del = sdel_ref[0, 0, :, pl.ds(qi * Tq, Tq), :].reshape(R, 1)
             dso = dso_ref[0, 0, :, pl.ds(qi * Tq, Tq)].reshape(R, d).astype(
                 jnp.float32
             )
@@ -505,8 +509,8 @@ def _backward_kernels(
     # deltas: rowsum(o * do), cheap XLA elementwise (padded rows -> 0)
     def delta(o, do):
         dl = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), -1)
-        dl = dl.reshape(b, kvh, G, n)
-        return jnp.pad(dl, ((0, 0),) * 3 + ((0, n_pad - n),))
+        dl = dl.reshape(b, kvh, G, n, 1)
+        return jnp.pad(dl, ((0, 0),) * 3 + ((0, n_pad - n), (0, 0)))
 
     f_del = delta(fo, dfo)
     s_del = delta(so, dso)
@@ -517,10 +521,11 @@ def _backward_kernels(
     q_full5 = pl.BlockSpec((1, 1, G, n_pad, d),
                            lambda bi, hi, ki: (bi, hi, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    lse_tile = pl.BlockSpec((1, 1, G, Tq), lambda bi, hi, qi: (bi, hi, 0, qi),
+    lse_tile = pl.BlockSpec((1, 1, G, Tq, 1),
+                            lambda bi, hi, qi: (bi, hi, 0, qi, 0),
                             memory_space=pltpu.VMEM)
-    lse_full = pl.BlockSpec((1, 1, G, n_pad),
-                            lambda bi, hi, ki: (bi, hi, 0, 0),
+    lse_full = pl.BlockSpec((1, 1, G, n_pad, 1),
+                            lambda bi, hi, ki: (bi, hi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     kv_full = pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                            memory_space=pltpu.VMEM)
