@@ -35,19 +35,36 @@ PROMPT = 3900
 GEN = 100
 
 
+def _load_trained(name: str, cfg):
+    """Prefer the trained seq-4096 checkpoint (selection-index/gather
+    locality under trained gates is the honest distribution to time);
+    fall back to random init when absent."""
+    from nsa_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    for d in (f"ckpt/{name}_seq4096", f"ckpt/{name}_seq512"):
+        ckpt = latest_checkpoint(d)
+        if ckpt:
+            state, _ = restore_checkpoint(ckpt, {"params": params})
+            print(f"# {name}: loaded {ckpt}", file=sys.stderr)
+            return state["params"]
+    print(f"# {name}: no checkpoint found, random init", file=sys.stderr)
+    return params
+
+
 def main():
     quick = "--quick" in sys.argv
     batch, prompt, gen = (8, 500, 20) if quick else (BATCH, PROMPT, GEN)
 
     results = {}
-    for name, sparse in [("sparse_mlp", True), ("full", False)]:
+    for name, sparse in [("sparse_mlp", True), ("full_attn", False)]:
         cfg = reference_model_config(
             compressor="mlp", use_sparse_attn=sparse,
         ).replace(
             dtype="bfloat16", attn_chunk_size=128,
             attn_impl="pallas" if sparse else "xla",
         )
-        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        params = _load_trained(name, cfg)
         if cfg.dtype == "bfloat16":
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), params
@@ -58,7 +75,7 @@ def main():
         del params
 
     sparse_tps = results["sparse_mlp"]
-    full_tps = results["full"]
+    full_tps = results["full_attn"]
     print(json.dumps({
         "metric": f"NSA sparse decode tokens/s (bs {batch}, prompt {prompt}, gen {gen})",
         "value": round(sparse_tps, 1),

@@ -99,6 +99,12 @@ class ModelConfig:
     # Query-chunk size for the chunked compressed+selection+fine pipeline
     # (memory is O(chunk) per step; 'reference' impl ignores this).
     attn_chunk_size: int = 128
+    # Training forward as one lax.scan over stacked layer params (+ remat
+    # per layer) instead of a Python unroll: every attention kernel lowers
+    # ONCE regardless of depth, which keeps whole-model programs with
+    # Pallas fwd+bwd kernels inside the TPU compiler's program-size budget
+    # at seq 4096 (an unrolled depth-6 program fails the remote compile).
+    scan_layers: bool = True
 
     def __post_init__(self):
         if self.heads % max(self.kv_heads, 1):
@@ -154,8 +160,11 @@ class DataConfig:
     train_bytes: int = 90_000_000
     # When the corpus file is unavailable, fall back to a deterministic
     # synthetic byte corpus so the pipeline stays runnable end to end.
+    # 32 MB keeps the 5000-step seq-4096 budget (~164M tokens) at ~5
+    # epochs, enough data that the sparse-vs-full comparison is not a
+    # memorization contest.
     allow_synthetic_fallback: bool = True
-    synthetic_bytes: int = 8_000_000
+    synthetic_bytes: int = 32_000_000
 
 
 @dataclass(frozen=True)

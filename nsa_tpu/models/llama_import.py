@@ -59,6 +59,25 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no safetensors/bin weights under {path}")
 
 
+def _half_split_to_interleaved(w: jnp.ndarray, num_heads: int,
+                               dim_head: int) -> jnp.ndarray:
+    """Permute q/k projection columns from HF's half-split RoPE layout to
+    the interleaved-pair layout our rotary uses.
+
+    HF ``rotate_half`` pairs feature j with j + d/2; ops/rotary.py pairs 2j
+    with 2j+1 (both at frequency theta^(-2j/d)).  Mapping column 2j <- j and
+    2j+1 <- j + d/2 per head makes our interleaved rotary act on exactly
+    the pairs HF's rotary would, so converted attention matches the source
+    checkpoint numerically (q and k permute together, so q.k is invariant).
+    """
+    d = dim_head
+    perm = np.empty(d, np.int64)
+    perm[0::2] = np.arange(d // 2)
+    perm[1::2] = np.arange(d // 2) + d // 2
+    w = w.reshape(w.shape[0], num_heads, d)[:, :, perm]
+    return w.reshape(w.shape[0], num_heads * d)
+
+
 def convert_llama_checkpoint(path: str) -> Tuple[Dict, ModelConfig]:
     """Convert a local HF Llama checkpoint directory to (params, config)."""
     with open(os.path.join(path, "config.json")) as f:
@@ -87,8 +106,12 @@ def convert_llama_checkpoint(path: str) -> Tuple[Dict, ModelConfig]:
         layers.append({
             "attn": {
                 "norm_scale": t(p + "input_layernorm.weight"),
-                "w_q": t(p + "self_attn.q_proj.weight").T,
-                "w_k": t(p + "self_attn.k_proj.weight").T,
+                "w_q": _half_split_to_interleaved(
+                    t(p + "self_attn.q_proj.weight").T, cfg.heads, cfg.dim_head
+                ),
+                "w_k": _half_split_to_interleaved(
+                    t(p + "self_attn.k_proj.weight").T, cfg.kv_heads, cfg.dim_head
+                ),
                 "w_v": t(p + "self_attn.v_proj.weight").T,
                 "w_out": t(p + "self_attn.o_proj.weight").T,
             },

@@ -59,6 +59,22 @@ class ModelCache(NamedTuple):
     seq_len: jnp.ndarray  # scalar int32: number of cached tokens
 
 
+def _layers_homogeneous(params) -> bool:
+    """True when every layer has the same pytree structure and leaf shapes
+    (required for stacking them into a lax.scan over layers)."""
+    layers = params["layers"]
+    if len(layers) < 2:
+        return True
+    ref = jax.tree_util.tree_structure(layers[0])
+    ref_shapes = [x.shape for x in jax.tree_util.tree_leaves(layers[0])]
+    for layer in layers[1:]:
+        if jax.tree_util.tree_structure(layer) != ref:
+            return False
+        if [x.shape for x in jax.tree_util.tree_leaves(layer)] != ref_shapes:
+            return False
+    return True
+
+
 def _uniform(key, shape, fan_in):
     bound = 1.0 / (fan_in ** 0.5)
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
@@ -184,20 +200,48 @@ def transformer_forward(
     *,
     impl: Optional[str] = None,
     return_cache_max_len: Optional[int] = None,
+    true_len: Optional[jnp.ndarray] = None,
 ):
     """Forward over token ids [b, n] -> logits [b, n, vocab].
 
     With ``return_cache_max_len`` also returns a ``ModelCache`` (prefill).
+    ``true_len`` marks the real prompt length when ids are right-padded to
+    a bucket (exact bucketed prefill; see sparse_attention_forward).
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     x = params["token_emb"][ids].astype(dtype)
     build_cache = return_cache_max_len is not None
+
+    if not build_cache and cfg.scan_layers and _layers_homogeneous(params):
+        # training path: one remat'd lax.scan over stacked layer params so
+        # each attention kernel (XLA or Pallas fwd+bwd) lowers exactly once
+        # regardless of depth — residuals are one [b, n, dim] per layer
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params["layers"]
+        )
+
+        def layer_step(h, layer):
+            if cfg.use_sparse_attn:
+                attn_out = sparse_attention_forward(
+                    layer["attn"], cfg, h, impl=impl
+                )
+            else:
+                attn_out = _full_attn_forward(layer["attn"], cfg, h)
+            h = h + attn_out
+            h = h + _ff_apply(layer["ff"], cfg, h)
+            return h, None
+
+        x, _ = jax.lax.scan(jax.checkpoint(layer_step), x, stacked)
+        x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+        return (x @ params["to_logits"].astype(dtype)).astype(jnp.float32)
+
     layer_caches = []
     for layer in params["layers"]:
         if cfg.use_sparse_attn:
             res = sparse_attention_forward(
                 layer["attn"], cfg, x, impl=impl,
                 return_cache_max_len=return_cache_max_len,
+                true_len=true_len,
             )
         else:
             res = _full_attn_forward(
@@ -214,10 +258,12 @@ def transformer_forward(
     logits = (x @ params["to_logits"].astype(dtype)).astype(jnp.float32)
     if not build_cache:
         return logits
-    cache = ModelCache(
-        layers=tuple(layer_caches),
-        seq_len=jnp.asarray(ids.shape[1], jnp.int32),
+    seq_len = (
+        jnp.asarray(ids.shape[1], jnp.int32)
+        if true_len is None
+        else jnp.asarray(true_len, jnp.int32)
     )
+    cache = ModelCache(layers=tuple(layer_caches), seq_len=seq_len)
     return logits, cache
 
 
@@ -245,11 +291,16 @@ def init_model_cache(
 
 
 def transformer_prefill(
-    params, cfg: ModelConfig, ids: jnp.ndarray, max_len: int, *, impl=None
+    params, cfg: ModelConfig, ids: jnp.ndarray, max_len: int, *, impl=None,
+    true_len: Optional[jnp.ndarray] = None,
 ):
-    """Prefill: forward over the prompt, building the decode cache."""
+    """Prefill: forward over the prompt, building the decode cache.
+
+    ``true_len`` enables exact bucketed prefill over right-padded ids
+    (one jit compile per bucket shape instead of per prompt length)."""
     return transformer_forward(
-        params, cfg, ids, impl=impl, return_cache_max_len=max_len
+        params, cfg, ids, impl=impl, return_cache_max_len=max_len,
+        true_len=true_len,
     )
 
 

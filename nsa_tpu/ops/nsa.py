@@ -161,11 +161,19 @@ def sparse_attention_forward(
     *,
     impl: Optional[str] = None,
     return_cache_max_len: Optional[int] = None,
+    true_len: Optional[jnp.ndarray] = None,
 ):
     """Training / prefill forward. x: [b, n, dim].
 
     Returns out [b, n, dim], or (out, NSADecodeCache) when
     ``return_cache_max_len`` is given (prefill).
+
+    ``true_len`` (traced scalar <= n) supports exact bucketed prefill over a
+    right-padded prompt: rows at positions >= true_len are garbage but are
+    never read by decode (kv/ckv validity is masked by the model-level
+    seq_len and overwritten as decode advances); the only cache leaf whose
+    *content* depends on the true length is the unrotated ring buffer,
+    which is built here at ``true_len`` via a dynamic slice.
     """
     nsa = cfg.nsa
     impl = impl or cfg.attn_impl
@@ -337,17 +345,27 @@ def sparse_attention_forward(
         return jnp.pad(t, pad)
 
     # ring: last Bc unrotated tokens, right-aligned (slot j = position
-    # n - Bc + j), zero on the left when n < Bc
-    lead = max(Bc - n, 0)
-    ring_k = jnp.pad(k[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
-    ring_v = jnp.pad(v[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
+    # L - Bc + j for true length L), zero on the left when L < Bc
+    if true_len is None:
+        lead = max(Bc - n, 0)
+        ring_k = jnp.pad(k[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
+        ring_v = jnp.pad(v[:, :, max(n - Bc, 0):], ((0, 0), (0, 0), (lead, 0), (0, 0)))
+        ring = jnp.concatenate([ring_k, ring_v], axis=-1)
+    else:
+        kv_unrot = jnp.concatenate([k, v], axis=-1)        # [b, kvh, n, 2d]
+        kv_unrot = jnp.pad(kv_unrot, ((0, 0), (0, 0), (Bc, 0), (0, 0)))
+        ring = jax.lax.dynamic_slice(
+            kv_unrot,
+            (0, 0, jnp.asarray(true_len, jnp.int32), 0),
+            (b, kvh, Bc, 2 * d),
+        )
     spare = max(nsa.num_compress_per_fine, 1)
     cache = NSADecodeCache(
         kv=jnp.concatenate([pad_to(rk, max_len), pad_to(v, max_len)], axis=-1),
         ckv=jnp.concatenate(
             [pad_to(ck, max_cb + spare), pad_to(cv, max_cb + spare)], axis=-1
         ),
-        ring=jnp.concatenate([ring_k, ring_v], axis=-1),
+        ring=ring,
     )
     return out, cache
 
@@ -475,12 +493,17 @@ def sparse_attention_decode(
 
     # ---- branches 1 + 2 + 3 ----------------------------------------------
     qg = q.reshape(b, kvh, g, d)
+    # The fused decode kernels cover the shared-selection regime with a
+    # masked diagonal (num_compress_per_fine > 1; stride == sel_block would
+    # let the reference double-count the diagonal block, which a masked
+    # union cannot express).  Any batch size works: the kernel wrappers
+    # pick the largest power-of-two batch tile dividing b.  mem_kv width is
+    # generic in the select kernel (importance excludes mem slots, matching
+    # selection.group_importance).
     use_decode_kernels = (
         cfg.attn_impl == "pallas"
         and nsa.query_heads_share_selected_kv
         and nsa.num_compress_per_fine > 1
-        and num_mem == 1
-        and b % min(16, b) == 0
     )
     if skip_compressed or skip_fine:
         use_decode_kernels = False

@@ -103,9 +103,11 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """q [b, h, n, d]; k, v [b, kvh, nk, d] -> [b, h, n, d]."""
+    from .runtime import resolve_interpret
+    interpret = resolve_interpret(interpret)
     b, h, n, d = q.shape
     _, kvh, n_k, _ = k.shape
     group = h // kvh

@@ -31,11 +31,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .runtime import resolve_interpret
+
 NEG = -1e30
 SCORE_EPS = 1e-10
 
 
 INFO_WIDTH = 128  # lane-aligned packed (idx | msk) output width
+
+
+def _pick_batch_tile(b: int, cap: int) -> int:
+    """Largest power-of-two divisor of ``b`` that is <= cap.
+
+    The batch tile is the leading dim of every block spec, so any divisor
+    is legal; halving until it divides keeps odd batch sizes (24, 48, 80…)
+    on the kernel path instead of tripping a trace-time assert."""
+    bt = min(cap, b)
+    while bt > 1 and b % bt:
+        bt //= 2
+    return bt
 
 
 def _select_kernel(
@@ -147,13 +161,14 @@ def decode_select(
     num_cb: jnp.ndarray,   # scalar int32
     max_blocks: int,
     *, stride: int, sel_block: int, window: int, num_sel: int, n_slide: int,
-    scale: float, batch_tile: int = 32, interpret: bool = False,
+    scale: float, batch_tile: int = 32,
+    interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (c_out [b,kvh,g,d], idx_all [b,kvh,S+n_slide] int32, msk [b,kvh,S])."""
     b, kvh, g, d = q.shape
     Wc = ckv.shape[2]
-    Bt = min(batch_tile, b)
-    assert b % Bt == 0
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
     n_slots = num_sel + n_slide
     scal = jnp.stack([t.astype(jnp.int32), num_cb.astype(jnp.int32)])
 
@@ -267,13 +282,13 @@ def decode_attend(
     msk: jnp.ndarray,      # [b, kvh*INFO_WIDTH] packed info from decode_select
     t: jnp.ndarray,
     *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
-    batch_tile: int = 16, interpret: bool = False,
+    batch_tile: int = 16, interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (fine_out, sliding_out) each [b, kvh, g, d]."""
     b, kvh, g, d = rq.shape
     J = fkv.shape[2]
-    Bt = min(batch_tile, b)
-    assert b % Bt == 0
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
     scal = t.astype(jnp.int32)[None]
     msk_packed = msk
 

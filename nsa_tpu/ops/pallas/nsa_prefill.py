@@ -155,6 +155,8 @@ def _forward(
     rq, rk, v, sel_idx, sel_mask, *, sel_block, window, scale,
     block_q, block_k, interpret,
 ):
+    from .runtime import resolve_interpret
+    interpret = resolve_interpret(interpret)
     b, h, n, d = rq.shape
     _, kvh, n_k, _ = rk.shape
     G = h // kvh
@@ -484,6 +486,8 @@ def _backward_kernels(
 ):
     """Pallas backward: returns (dq [b,h,n,d], dk, dv [b,kvh,n,d],
     dgates [b,kvh,n,S])."""
+    from .runtime import resolve_interpret
+    interpret = resolve_interpret(interpret)
     b, h, n, d = rq.shape
     _, kvh, n_k, _ = rk.shape
     G = h // kvh
@@ -589,7 +593,7 @@ def _backward_kernels(
 def nsa_fine_sliding_attention(
     rq, rk, v, sel_idx, sel_mask, gates,
     sel_block: int, window: int, scale: float,
-    block_q: int = 128, block_k: int = 512, interpret: bool = False,
+    block_q: int = 128, block_k: int = 512, interpret: bool | None = None,
 ):
     """Fused fine+sliding NSA attention with exact straight-through grads.
 

@@ -50,9 +50,11 @@ def paged_gather(
     cache: jnp.ndarray,      # [b, kvh, max_len, d] (stays in HBM)
     indices: jnp.ndarray,    # [b, kvh, num_slots] int32 block ids
     block_size: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """-> [b, kvh, num_slots * block_size, d] gathered blocks."""
+    from .runtime import resolve_interpret
+    interpret = resolve_interpret(interpret)
     b, kvh, max_len, d = cache.shape
     num_slots = indices.shape[-1]
 

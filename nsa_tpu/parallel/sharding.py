@@ -39,6 +39,13 @@ def param_spec(path, leaf) -> P:
     name = names[-1] if names else ""
     in_compressor = any(n in ("k_compress", "v_compress") for n in names)
 
+    # grouped compressor weights carry a leading kv_heads axis; check this
+    # FIRST so their w1/w2 names don't collide with the FF column/row sets
+    # (which would shard dim_in over heads and force resharding traffic)
+    if in_compressor:
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            return P(AXIS_HEADS, *([None] * (leaf.ndim - 1)))
+        return P()
     if name in _COLUMN:
         return P(None, AXIS_HEADS)
     if name in _ROW:
@@ -49,9 +56,6 @@ def param_spec(path, leaf) -> P:
         return P(None, AXIS_HEADS)
     if name in ("k_pos", "v_pos"):
         return P(AXIS_HEADS)
-    if in_compressor and hasattr(leaf, "ndim") and leaf.ndim >= 2:
-        # grouped compressor weights carry a leading kv_heads axis
-        return P(AXIS_HEADS, *([None] * (leaf.ndim - 1)))
     return P()
 
 

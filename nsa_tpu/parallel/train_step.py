@@ -119,6 +119,33 @@ def dryrun(n_devices: int, use_sparse: bool = True) -> None:
         assert np.isfinite(np.asarray(logits)).all()
         print("dryrun decode step ok")
 
+        if use_sparse:
+            # the Pallas kernel path under the same mesh (interpret mode on
+            # CPU meshes, Mosaic on real chips): fused prefill fwd+bwd in
+            # the train step, decode_select/decode_attend in the decode step
+            pcfg = model_cfg.replace(attn_impl="pallas")
+            ploss = jax.jit(
+                lambda p, b: transformer_loss(p, pcfg, b)
+            )(params, shard_batch(jnp.zeros(
+                (train_cfg.batch_size, train_cfg.seq_len + 1), jnp.int32
+            ), mesh))
+            pgrads = jax.jit(jax.grad(
+                lambda p, b: transformer_loss(p, pcfg, b)
+            ))(params, shard_batch(jnp.zeros(
+                (train_cfg.batch_size, train_cfg.seq_len + 1), jnp.int32
+            ), mesh))
+            jax.block_until_ready(pgrads)
+            assert np.isfinite(float(ploss))
+            print(f"dryrun pallas train fwd+bwd ok: loss={float(ploss):.4f}")
+
+            pstep = jax.jit(
+                lambda p, tok, c: transformer_decode_step(p, pcfg, tok, c)
+            )
+            plogits, _ = pstep(params, tok, cache)
+            jax.block_until_ready(plogits)
+            assert np.isfinite(np.asarray(plogits)).all()
+            print("dryrun pallas decode step ok")
+
 
 if __name__ == "__main__":
     dryrun(len(jax.devices()))

@@ -9,8 +9,13 @@ This engine provides the long-context serving story of the north star:
 * ragged decode: one jitted step advances all active slots at their own
   positions (vmapped single-sequence NSA decode, so every per-position
   update/gather stays static-shape);
-* bucketed prefill (prompt lengths rounded up to a small set of buckets,
-  bounding XLA recompiles) writing directly into a slot;
+* exact bucketed prefill: the WHOLE prompt is right-padded to a small set
+  of bucket lengths and prefilled in one jitted call with a ``true_len``
+  marker — admission costs O(1) jit calls per request (one compile per
+  bucket shape), and the resulting cache is token-for-token identical to
+  incremental decode because pad rows are never read (validity masks key
+  off the true seq_len and rows are overwritten as decode advances; the
+  ring buffer is built at true_len inside prefill);
 * admission + retirement (max tokens or stop byte) between steps —
   continuous batching: new requests join as others finish, without
   draining the batch.
@@ -60,9 +65,45 @@ def ragged_decode_step(params, cfg: ModelConfig, tokens, cache_layers,
     return jax.vmap(one, in_axes=(0, 0, 0))(tokens, cache_layers, seq_lens)
 
 
-def _add_batch_dim(layers):
-    """[leaf...] of batch-1 cache -> same leaves (batch dim already 1)."""
-    return jax.tree_util.tree_map(lambda x: x, layers)
+@partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def ragged_decode_multi(params, cfg: ModelConfig, tokens, cache_layers,
+                        seq_lens, num_steps: int):
+    """Advance every slot ``num_steps`` greedy tokens WITHOUT host syncs.
+
+    One jitted lax.scan feeds each slot's argmax token back on device, so
+    a remote backend pays one dispatch + one [B, num_steps] readback per
+    sync instead of num_steps logits round-trips.  Returns
+    (tokens [B, num_steps], new cache_layers).
+    """
+    def one(token, layers, t):
+        def body(carry, _):
+            tok, lyr, tt = carry
+            layers1 = jax.tree_util.tree_map(lambda x: x[None], lyr)
+            cache = ModelCache(layers=layers1, seq_len=tt)
+            logits, new_cache = transformer_decode_step(
+                params, cfg, tok[None], cache
+            )
+            nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+            new_layers = jax.tree_util.tree_map(
+                lambda x: x[0], new_cache.layers
+            )
+            return (nxt, new_layers, tt + 1), nxt
+
+        (_, layers, _), toks = jax.lax.scan(
+            body, (token, layers, t), None, length=num_steps
+        )
+        return toks, layers
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(tokens, cache_layers, seq_lens)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def bucketed_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
+                     true_len):
+    """Prefill a right-padded [1, bucket] prompt with its true length."""
+    return transformer_prefill(
+        params, cfg, padded_ids, max_len, true_len=true_len
+    )
 
 
 @dataclass
@@ -73,7 +114,6 @@ class Request:
     stop_byte: Optional[int] = None
     generated: List[int] = field(default_factory=list)
     slot: Optional[int] = None
-    feed_pos: int = 0  # next prompt index to feed (teacher forcing tail)
 
 
 class ContinuousBatchingEngine:
@@ -87,11 +127,17 @@ class ContinuousBatchingEngine:
         max_len: int = 1024,
         prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512),
         dtype=jnp.float32,
+        steps_per_sync: int = 1,
     ):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
+        # tokens generated per host round-trip: >1 runs a jitted on-device
+        # scan (greedy feedback) so a remote backend pays one dispatch and
+        # one [B, K] token readback per K tokens instead of K logits
+        # round-trips; admission/retirement happen between syncs
+        self.steps_per_sync = max(1, int(steps_per_sync))
         self.buckets = tuple(sorted(prefill_buckets))
         # slot-pooled cache: leading dim = max_batch on every leaf
         pool = init_model_cache(cfg, max_batch, max_len, dtype)
@@ -109,11 +155,15 @@ class ContinuousBatchingEngine:
         self, prompt: np.ndarray, max_new_tokens: int,
         stop_byte: Optional[int] = None,
     ) -> int:
+        prompt = np.asarray(prompt, np.int32)
+        if len(prompt) + 1 > self.max_len:
+            raise ValueError(
+                f"prompt length {len(prompt)} + 1 exceeds engine max_len "
+                f"{self.max_len}; truncate the prompt or raise max_len"
+            )
         rid = self._rid
         self._rid += 1
-        self.pending.append(
-            Request(rid, np.asarray(prompt, np.int32), max_new_tokens, stop_byte)
-        )
+        self.pending.append(Request(rid, prompt, max_new_tokens, stop_byte))
         return rid
 
     @property
@@ -131,10 +181,10 @@ class ContinuousBatchingEngine:
     def _admit(self):
         """Prefill pending requests into free slots.
 
-        To keep the cache invariants exact (the compression run buffer
-        depends on the true sequence length), prefill covers the largest
-        bucket <= prompt length and the remaining prompt tail is
-        teacher-forced through the ragged decode path.
+        The whole prompt is right-padded to the smallest bucket >= its
+        length and prefilled in ONE jitted call (compiled once per bucket
+        shape): admission is O(1) device calls per request instead of the
+        O(prompt) teacher-forced decode steps a partial prefill would need.
         """
         for slot in range(self.max_batch):
             if self.slot_req[slot] is not None or not self.pending:
@@ -142,28 +192,21 @@ class ContinuousBatchingEngine:
             req = self.pending.popleft()
             req.slot = slot
             n = len(req.prompt)
-            m = max([b for b in self.buckets if b <= n] or [0])
-            m = min(m, n)
-            if m == 0:
-                m = 1  # prefill at least the first token
-            logits, cache = transformer_prefill(
-                self.params, self.cfg, jnp.asarray(req.prompt[:m])[None],
-                self.max_len,
+            m = min(self._bucket(max(n, 1)), self.max_len)
+            padded = np.zeros(m, np.int32)
+            padded[:n] = req.prompt
+            logits, cache = bucketed_prefill(
+                self.params, self.cfg, jnp.asarray(padded)[None],
+                self.max_len, jnp.asarray(n, jnp.int32),
             )
             self.cache_layers = jax.tree_util.tree_map(
                 lambda pool, one: pool.at[slot].set(one[0]),
                 self.cache_layers, cache.layers,
             )
-            self.seq_lens[slot] = m
-            if m < n:
-                # teacher-force the rest of the prompt via decode steps
-                self._next_token[slot] = int(req.prompt[m])
-                req.feed_pos = m
-            else:
-                first = int(np.argmax(np.asarray(logits)[0, m - 1]))
-                self._next_token[slot] = first
-                req.generated.append(first)
-                req.feed_pos = n
+            self.seq_lens[slot] = n
+            first = int(np.argmax(np.asarray(logits)[0, n - 1]))
+            self._next_token[slot] = first
+            req.generated.append(first)
             self.slot_req[slot] = req
             self._maybe_retire(slot)
 
@@ -186,6 +229,9 @@ class ContinuousBatchingEngine:
         self._admit()
         if self.num_active == 0:
             return
+        if self.steps_per_sync > 1:
+            self._multi_step()
+            return
         logits, self.cache_layers = ragged_decode_step(
             self.params, self.cfg, jnp.asarray(self._next_token),
             self.cache_layers, jnp.asarray(self.seq_lens),
@@ -194,13 +240,7 @@ class ContinuousBatchingEngine:
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            n = len(req.prompt)
             self.seq_lens[slot] += 1
-            req.feed_pos += 1
-            if req.feed_pos < n:
-                # still consuming the prompt tail (teacher forcing)
-                self._next_token[slot] = int(req.prompt[req.feed_pos])
-                continue
             nxt = int(np.argmax(logits[slot]))
             req.generated.append(nxt)
             self._next_token[slot] = nxt
@@ -210,6 +250,38 @@ class ContinuousBatchingEngine:
                 self.seq_lens[slot] = 0
                 continue
             self._maybe_retire(slot)
+
+    def _multi_step(self):
+        """Generate up to ``steps_per_sync`` greedy tokens per active slot
+        in one device call; token-for-token identical to single-stepping
+        (same caches, same greedy argmax), only the sync cadence differs."""
+        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        # never let a continuing slot run past cache capacity mid-sync
+        room = min(self.max_len - 1 - int(self.seq_lens[s]) for s in active)
+        k = max(1, min(self.steps_per_sync, room))
+        toks, self.cache_layers = ragged_decode_multi(
+            self.params, self.cfg, jnp.asarray(self._next_token),
+            self.cache_layers, jnp.asarray(self.seq_lens), k,
+        )
+        toks = np.asarray(toks)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            for j in range(k):
+                self.seq_lens[slot] += 1
+                nxt = int(toks[slot, j])
+                req.generated.append(nxt)
+                self._next_token[slot] = nxt
+                done = len(req.generated) >= req.max_new_tokens or (
+                    req.stop_byte is not None and nxt == req.stop_byte
+                )
+                if done or self.seq_lens[slot] + 1 >= self.max_len:
+                    self.finished[req.rid] = np.asarray(
+                        req.generated, np.int32
+                    )
+                    self.slot_req[slot] = None
+                    self.seq_lens[slot] = 0
+                    break
 
     def run(self, max_steps: int = 10_000) -> Dict[int, np.ndarray]:
         steps = 0

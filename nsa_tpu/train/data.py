@@ -37,40 +37,103 @@ CS441_TRAIN_CANDIDATES = [
 ]
 
 
+_SYLLABLES = [
+    "ba", "co", "di", "fu", "ga", "he", "ji", "ka", "lo", "mu", "ne", "or",
+    "pa", "qui", "ra", "so", "ta", "un", "ve", "wa", "xi", "yo", "zu",
+    "tion", "ment", "er", "ing", "ly", "al", "ic", "st", "br",
+]
+_VOCAB_SIZE = 2048
+
+
+def _make_vocab(seed: int) -> List[str]:
+    """2048 deterministic pseudo-words built from syllables."""
+    rng = np.random.RandomState(seed)
+    vocab = []
+    seen = set()
+    while len(vocab) < _VOCAB_SIZE:
+        k = int(rng.randint(2, 5))
+        w = "".join(_SYLLABLES[int(i)]
+                    for i in rng.randint(0, len(_SYLLABLES), size=k))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
+
 def synthetic_byte_corpus(num_bytes: int, seed: int = 1234) -> np.ndarray:
     """Deterministic pseudo-text byte corpus (enwik8 stand-in).
 
-    Generates wiki-markup-flavored text from a small word model so that
-    byte statistics are non-trivial (whitespace, tags, punctuation,
-    repeated words) while remaining fully reproducible offline.
+    Wiki-flavored articles over a 2048-word Zipf vocabulary.  Each article
+    introduces a handful of multi-word *entities* (title-cased names) that
+    recur throughout its 2-12 KB body, plus a year fact repeated at random
+    offsets — deterministic LONG-RANGE dependencies spanning hundreds to
+    thousands of bytes, far beyond the 64-token sliding window, so a
+    seq-4096 quality comparison actually exercises the compressed /
+    selected branches instead of saturating on local statistics (the v1
+    corpus was order-0 over 37 words; both models memorized it and the
+    sparse-vs-full delta carried no signal).
     """
     rng = np.random.RandomState(seed)
-    words = [
-        "the", "of", "and", "in", "to", "a", "is", "was", "for", "on",
-        "as", "by", "with", "from", "at", "which", "city", "state", "war",
-        "history", "world", "people", "system", "time", "first", "new",
-        "national", "university", "science", "attention", "sparse",
-        "model", "language", "data", "network", "block", "memory",
-    ]
-    probs = np.array([1.0 / (i + 1) for i in range(len(words))])
+    vocab = _make_vocab(seed)
+    probs = 1.0 / np.arange(1, _VOCAB_SIZE + 1) ** 1.1
     probs /= probs.sum()
+
     chunks: List[bytes] = []
     total = 0
     while total < num_bytes:
-        n_words = int(rng.randint(5, 14))
-        ws = rng.choice(len(words), size=n_words, p=probs)
-        sent = " ".join(words[int(w)] for w in ws)
-        if rng.rand() < 0.08:
-            sent = "[[" + sent + "]]"
-        elif rng.rand() < 0.05:
-            sent = "&lt;ref&gt;" + sent + "&lt;/ref&gt;"
-        sent = sent.capitalize() + ". "
-        if rng.rand() < 0.03:
-            sent += "\n== " + words[int(rng.randint(len(words)))].title() + " ==\n"
-        b = sent.encode("utf-8")
+        # entities: title-cased two-word names reused through the article
+        n_ent = int(rng.randint(3, 7))
+        ents = [
+            " ".join(vocab[int(i)].title()
+                     for i in rng.randint(0, _VOCAB_SIZE, size=2))
+            for _ in range(n_ent)
+        ]
+        year = int(rng.randint(1100, 2030))
+        parts = [f"\n== {ents[0]} ==\n"]
+        n_sent = int(rng.randint(40, 120))
+        word_ids = rng.choice(_VOCAB_SIZE, size=n_sent * 18, p=probs)
+        wpos = 0
+        for _ in range(n_sent):
+            n_w = int(rng.randint(6, 18))
+            toks = [vocab[int(w)] for w in word_ids[wpos:wpos + n_w]]
+            wpos += n_w
+            r = rng.rand()
+            if r < 0.35:
+                toks.insert(int(rng.randint(0, len(toks))),
+                            ents[int(rng.randint(0, n_ent))])
+            if r > 0.9:
+                toks.append(f"in {year}")
+            joined = " ".join(toks)
+            # uppercase only the first char: str.capitalize() would
+            # lowercase the recurring title-cased entity mentions
+            sent = joined[0].upper() + joined[1:] + ". "
+            if rng.rand() < 0.05:
+                sent = "[[" + sent.strip() + "]] "
+            parts.append(sent)
+        b = "".join(parts).encode("utf-8")
         chunks.append(b)
         total += len(b)
     return np.frombuffer(b"".join(chunks)[:num_bytes], dtype=np.uint8).copy()
+
+
+def _synthetic_corpus_cached(num_bytes: int, seed: int = 1234) -> np.ndarray:
+    """Disk-cached synthetic corpus (generation is ~1 min for 32 MB)."""
+    cache_dir = "data"
+    path = os.path.join(
+        cache_dir, f"synthetic_v2_{num_bytes}_{seed}.npy"
+    )
+    if os.path.exists(path):
+        return np.load(path)
+    data = synthetic_byte_corpus(num_bytes, seed)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, data)
+        os.replace(tmp, path)
+    except OSError:  # read-only cwd: just skip the cache
+        pass
+    return data
 
 
 def load_byte_corpus(cfg: DataConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -81,7 +144,7 @@ def load_byte_corpus(cfg: DataConfig) -> Tuple[np.ndarray, np.ndarray]:
         with opener(path, "rb") as f:
             data = np.frombuffer(f.read(cfg.num_bytes), dtype=np.uint8).copy()
     elif cfg.allow_synthetic_fallback:
-        data = synthetic_byte_corpus(cfg.synthetic_bytes)
+        data = _synthetic_corpus_cached(cfg.synthetic_bytes)
     else:
         raise FileNotFoundError(path)
     split = min(cfg.train_bytes, int(len(data) * 90 / 95))

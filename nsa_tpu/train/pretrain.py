@@ -44,9 +44,50 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def tpu_compiler_options() -> Optional[dict]:
+    """Per-jit compile options for TPU backends.
+
+    The Pallas backward kernels' per-program VMEM blocks exceed the
+    default 16 MiB scoped-vmem budget at seq 4096 (the four lane-padded
+    LSE/delta buffers dominate); v5e has 128 MiB of VMEM, so raising the
+    scoped limit is safe and lets the fused fwd+bwd kernels be the real
+    training path.  XLA_FLAGS cannot carry this flag here: the env var is
+    parsed client-side, which rejects TPU-only flags under the remote
+    (axon) compile plugin — per-jit compiler_options ship through PJRT.
+    """
+    if jax.default_backend() == "cpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "optimizer", "accum"))
+def _train_step_cpu(params, opt_state, batch, model_cfg: ModelConfig,
+                    optimizer, accum: int):
+    return _train_step_impl(params, opt_state, batch, model_cfg, optimizer,
+                            accum)
+
+
+_train_step_tpu = None
+
+
 def train_step(params, opt_state, batch, model_cfg: ModelConfig,
                optimizer, accum: int):
+    opts = tpu_compiler_options()
+    if opts is None:
+        return _train_step_cpu(params, opt_state, batch, model_cfg,
+                               optimizer, accum)
+    global _train_step_tpu
+    if _train_step_tpu is None:
+        _train_step_tpu = partial(
+            jax.jit, static_argnames=("model_cfg", "optimizer", "accum"),
+            compiler_options=opts,
+        )(_train_step_impl)
+    return _train_step_tpu(params, opt_state, batch, model_cfg, optimizer,
+                           accum)
+
+
+def _train_step_impl(params, opt_state, batch, model_cfg: ModelConfig,
+                     optimizer, accum: int):
     """One optimizer step over ``accum`` micro-batches.
 
     batch: [accum, micro_batch, seq_len + 1] int32.

@@ -56,8 +56,13 @@ def save_checkpoint(
     meta = {"step": step, **(extra or {})}
     if model_cfg is not None:
         meta["model_config"] = json.loads(config_to_json(model_cfg))
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # meta.json is the completion marker (written last, atomically): a
+    # checkpoint dir without it is a partial save from an interrupted run
+    # and is skipped by latest_checkpoint
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(path, "meta.json"))
     return path
 
 
@@ -67,7 +72,10 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         return None
     steps = sorted(
         d for d in os.listdir(directory)
-        if d.startswith("step_") and os.path.isdir(os.path.join(directory, d))
+        if d.startswith("step_")
+        and os.path.isdir(os.path.join(directory, d))
+        # only complete checkpoints (meta.json is written last)
+        and os.path.isfile(os.path.join(directory, d, "meta.json"))
     )
     return os.path.join(directory, steps[-1]) if steps else None
 

@@ -86,8 +86,9 @@ def main():
         params, opt_state, loss_dev = train_step(
             params, opt_state, jnp.asarray(batch)[None], cfg, optimizer, 1
         )
-        loss = float(loss_dev)
-        if step % 20 == 0:
+        # scalar readback only at log cadence (costs seconds on the tunnel)
+        if step % 20 == 0 or step == args.num_batches - 1:
+            loss = float(loss_dev)
             logger.log(step, cpt_loss=loss)
 
     path = save_checkpoint(out_dir, meta["step"] + args.num_batches, params,

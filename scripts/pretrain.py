@@ -26,6 +26,8 @@ def main():
     p.add_argument("--num-batches", type=int, default=5000)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--attn-impl", default="xla",
+                   choices=["reference", "xla", "pallas"])
     p.add_argument("--data", default="data/enwik8.gz")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=2500)
@@ -41,7 +43,7 @@ def main():
     model_cfg = reference_model_config(
         compressor=args.compressor,
         use_sparse_attn=not args.full_attention,
-    ).replace(dtype=args.dtype)
+    ).replace(dtype=args.dtype, attn_impl=args.attn_impl)
     train_cfg = TrainConfig(
         num_batches=args.num_batches,
         batch_size=args.batch_size,

@@ -9,8 +9,14 @@ with virtual CPU devices to validate the scaling *structure*:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
       python scripts/scaling_bench.py --devices 1 2 4 8
 
-Writes one CSV row per mesh size (same schema idea as the efficiency CSV)
-so the judge can compare tokens/s at 1 -> N devices.
+Weak scaling: per-device work is held CONSTANT (global batch = per-device
+batch x total devices), so ideal scaling keeps step time flat on real
+hardware.  On a virtual CPU mesh all "devices" share one host's cores, so
+step time inherently grows ~N x; there the efficiency is host-normalized
+(N * t1 / tN), which isolates the quantity that is actually measurable on
+a shared host: sharding/communication overhead beyond the inherent N x
+compute (resharding pathologies push it below 1).  The CSV records which
+normalization was used.
 """
 
 import argparse
@@ -37,7 +43,9 @@ def bench_mesh(n_devices: int, model_cfg, seq_len: int, per_device_batch: int,
                iters: int = 5):
     mesh = auto_mesh(n_devices, kv_heads=model_cfg.kv_heads)
     data_par = mesh.devices.shape[0]
-    global_batch = per_device_batch * data_par
+    # weak scaling: per-device work constant => global batch scales with
+    # the TOTAL device count (heads-TP shards attention work per device too)
+    global_batch = per_device_batch * n_devices
     train_cfg = TrainConfig(batch_size=global_batch, seq_len=seq_len,
                             grad_accum_every=1)
     with mesh:
@@ -70,6 +78,7 @@ def bench_mesh(n_devices: int, model_cfg, seq_len: int, per_device_batch: int,
         "global_batch": global_batch,
         "seq_len": seq_len,
         "step_ms": round(dt * 1000, 2),
+        "step_s": dt,
         "tokens_per_s": round(tokens / dt, 1),
         "tokens_per_s_per_device": round(tokens / dt / n_devices, 1),
     }
@@ -85,18 +94,25 @@ def main():
 
     model_cfg = tiny_test_config(heads=8, kv_heads=4, dim=128, dim_head=16)
     avail = jax.device_count()
+    shared_host = jax.default_backend() == "cpu"
     logger = CSVLogger(args.csv)
-    base = None
+    base_t, base_n = None, None
     for n in args.devices:
         if n > avail:
             print(f"skip {n} devices (only {avail} available)")
             continue
         row = bench_mesh(n, model_cfg, args.seq_len, args.per_device_batch)
-        if base is None:
-            base = row["tokens_per_s_per_device"]
-        row["weak_scaling_efficiency"] = round(
-            row["tokens_per_s_per_device"] / base, 3
-        )
+        if base_t is None:
+            base_t, base_n = row["step_s"], n
+        if shared_host:
+            # one host runs all virtual devices: inherent time growth is
+            # (n / base_n); efficiency below 1 means sharding overhead
+            eff = base_t * (n / base_n) / row["step_s"]
+        else:
+            eff = base_t / row["step_s"]
+        row["weak_scaling_efficiency"] = round(eff, 3)
+        row["host_normalized"] = shared_host
+        del row["step_s"]
         logger.append(row)
         print(row)
 

@@ -85,6 +85,47 @@ class TestEngine:
         np.testing.assert_array_equal(outs[r1], w1)
         np.testing.assert_array_equal(outs[r2], w2)
 
+    def test_multi_step_sync_matches_single(self, model):
+        """steps_per_sync > 1 (on-device greedy scan between host syncs)
+        is token-for-token identical to single-stepping."""
+        cfg, params = model
+        prompts = [
+            np.arange(1, 10, dtype=np.int32),
+            np.arange(40, 52, dtype=np.int32),
+            np.arange(90, 98, dtype=np.int32),
+        ]
+        wants = [reference_sample(params, cfg, p, 7) for p in prompts]
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16),
+            steps_per_sync=4,
+        )
+        rids = [eng.add_request(p, max_new_tokens=7) for p in prompts]
+        outs = eng.run()
+        for rid, want in zip(rids, wants):
+            np.testing.assert_array_equal(outs[rid], want)
+
+    def test_multi_step_stop_byte(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 9, dtype=np.int32)
+        full = reference_sample(params, cfg, prompt, 8)
+        stop = int(full[2])
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=64, prefill_buckets=(8,),
+            steps_per_sync=3,
+        )
+        rid = eng.add_request(prompt, max_new_tokens=8, stop_byte=stop)
+        outs = eng.run()
+        assert len(outs[rid]) <= 8
+        np.testing.assert_array_equal(outs[rid], full[: len(outs[rid])])
+
+    def test_overlong_prompt_rejected(self, model):
+        cfg, params = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=32, prefill_buckets=(8,)
+        )
+        with pytest.raises(ValueError):
+            eng.add_request(np.zeros(32, np.int32), max_new_tokens=4)
+
     def test_stop_byte(self, model):
         cfg, params = model
         prompt = np.arange(1, 9, dtype=np.int32)

@@ -97,6 +97,68 @@ class TestShardedExecution:
             )
 
     @requires_8
+    def test_sharded_pallas_decode_matches_single_device(self):
+        """The fused decode kernels (interpret mode on CPU) under the
+        (data, heads) mesh produce the same logits as single-device — the
+        TP grid (kvh, batch_tiles) is exactly what head-sharding could
+        break, so the kernel path itself runs on the mesh here."""
+        from nsa_tpu.models.transformer import (
+            transformer_decode_step,
+            transformer_prefill,
+        )
+        from nsa_tpu.parallel.sharding import shard_cache
+
+        cfg = tiny_test_config(attn_impl="pallas")
+        params = init_transformer(jax.random.PRNGKey(2), cfg)
+        ids = jnp.asarray(
+            np.random.RandomState(2).randint(0, 256, size=(4, 13)), jnp.int32
+        )
+        _, cache = transformer_prefill(params, cfg, ids, max_len=32)
+        tok = jnp.zeros((4,), jnp.int32)
+
+        logits1, cache1 = transformer_decode_step(params, cfg, tok, cache)
+        logits1, c1kv = np.asarray(logits1), np.asarray(cache1.layers[0].kv)
+
+        mesh = make_mesh(data=4, heads=2)
+        with mesh:
+            sp = shard_params(params, mesh)
+            sc = shard_cache(cache, mesh)
+            stok = shard_batch(tok, mesh)
+            step = jax.jit(
+                lambda p, t, c: transformer_decode_step(p, cfg, t, c)
+            )
+            logits2, cache2 = step(sp, stok, sc)
+        np.testing.assert_allclose(
+            logits1, np.asarray(logits2), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            c1kv, np.asarray(cache2.layers[0].kv), rtol=2e-4, atol=2e-5
+        )
+
+    @requires_8
+    def test_sharded_pallas_train_grads_match(self):
+        """Fused prefill kernel fwd+bwd on the mesh == single device."""
+        cfg = tiny_test_config(attn_impl="pallas")
+        params = init_transformer(jax.random.PRNGKey(3), cfg)
+        ids = jnp.asarray(
+            np.random.RandomState(3).randint(0, 256, size=(4, 17)), jnp.int32
+        )
+        loss_fn = lambda p, i: transformer_loss(p, cfg, i)
+        l1, g1 = jax.value_and_grad(loss_fn)(params, ids)
+        mesh = make_mesh(data=4, heads=2)
+        with mesh:
+            sp = shard_params(params, mesh)
+            sids = shard_batch(ids, mesh)
+            l2, g2 = jax.jit(jax.value_and_grad(loss_fn))(sp, sids)
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+
+    @requires_8
     def test_sharded_loss_matches(self):
         cfg = tiny_test_config()
         params = init_transformer(jax.random.PRNGKey(1), cfg)
