@@ -16,6 +16,17 @@ Compared to the gather-based XLA path this trades extra masked MXU compute
 (each q tile scans the causal triangle of k tiles) for zero gather traffic;
 on the MXU the q@k tiles are dense [G*Tq, d] x [d, Tk] matmuls.
 
+Long context: below ``STREAM_MIN_NK`` the whole K/V row of one
+(batch, kv-head) is block-mapped into VMEM (fastest at trainable lengths,
+and the layout the seq-4096 training path compiles with); at or above it
+the forward switches to a streaming variant where K/V stay in HBM packed
+as ``k||v`` on the lane dim (2d = 128-aligned — Mosaic requires manual-DMA
+slices to be 128-aligned in the lane dim) and flow through a
+double-buffered VMEM scratch, so per-program VMEM is O(Tq + Bk) and
+context length is bounded by HBM, not VMEM.  q is zero-padded to 2d lanes
+so the v half contracts to zero in q @ kv^T, and the v-half columns of
+p @ kv are the attention output, sliced outside the kernel.
+
 Semantics note: when ``selection_block_size == compress_stride`` the
 reference can select the diagonal block itself, double-counting it in the
 softmax (duplicate gathered keys).  A masked union cannot double-count, so
@@ -95,22 +106,10 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref,
             jnp.int32, (R, block_k), 1
         )
         k_blk_id = k_pos // sel_block
-        causal = (row_pos >= k_pos) & (k_pos < n_k)
-
-        # fine mask: selected-by-this-row OR block-causal diagonal
-        sel_hit = jnp.zeros((R, block_k), jnp.bool_)
-        for si in range(num_sel):
-            # row-wise selected block id, expanded over the G query heads
-            # (2-D concatenation: Mosaic rejects 1-D tile/reshape here)
-            idx_s = sel_idx[:, si:si + 1]                 # [Tq, 1]
-            msk_s = sel_msk[:, si:si + 1] != 0            # [Tq, 1]
-            idx_rows = jnp.concatenate([idx_s] * G, axis=0)   # [R, 1]
-            msk_rows = jnp.concatenate([msk_s] * G, axis=0)
-            sel_hit = sel_hit | ((k_blk_id == idx_rows) & msk_rows)
-        fine_ok = causal & (sel_hit | (k_blk_id == q_blk))
-
-        # sliding mask: exact band
-        slide_ok = causal & ((row_pos - k_pos) <= window)
+        fine_ok, slide_ok = _masks(
+            row_pos, q_blk, k_pos, k_blk_id, sel_idx, sel_msk, G, num_sel,
+            window, n_k,
+        )
 
         def online(m, l, acc, mask):
             sm_ = jnp.where(mask, s, NEG_INF)
@@ -151,6 +150,107 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref,
     slse_ref[0, 0] = (sm + jnp.log(jnp.maximum(sl, 1e-30))).reshape(G, Tq, 1)
 
 
+# K/V rows at least this long use the HBM-streaming forward (the
+# block-mapped whole-row layout is faster below it and is the compile
+# configuration the seq-4096 training path is validated with)
+STREAM_MIN_NK = 8192
+# test hook: force the streaming forward at any length
+FORCE_STREAM = False
+
+
+def _kernel_stream(idx_ref, msk_ref, q_ref, kv_ref, fo_ref, so_ref,
+                   flse_ref, slse_ref, kv_s, sem_kv, *,
+                   scale, sel_block, window, block_k, n_k, num_sel):
+    """Long-context forward: kv_ref is k||v packed on the lane dim
+    ([b, kvh, nk_pad, 2d], 128-aligned so manual DMA slices are legal),
+    held in HBM and streamed tile-by-tile through double-buffered VMEM
+    scratch (the DMA for tile i+1 is issued before computing tile i).
+    q arrives zero-padded to 2d lanes, so q @ kv^T = q @ k^T (the v half
+    contracts with zeros) and the v-half columns of p @ kv are the
+    attention output (the k-half columns are discarded by the wrapper).
+    Per-program VMEM is O(Tq + Bk), independent of n_k."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    _, _, G, Tq, d2 = q_ref.shape          # d2 = 2 * d
+    R = G * Tq
+
+    q = q_ref[0, 0].reshape(R, d2).astype(jnp.float32) * scale
+    row_pos = qi * Tq + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0) % Tq
+    q_blk = row_pos // sel_block
+    sel_idx = idx_ref[0, 0]
+    sel_msk = msk_ref[0, 0]
+
+    num_kb = pl.cdiv(n_k, block_k)
+    num_kb_live = jnp.minimum(num_kb, ((qi + 1) * Tq + block_k - 1) // block_k)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            kv_ref.at[bi, hi, pl.ds(i * block_k, block_k), :],
+            kv_s.at[slot],
+            sem_kv.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(i, carry):
+        fm, fl, facc, sm, sl, sacc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < num_kb_live)
+        def _():
+            get_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+        kvblk = kv_s[slot].astype(jnp.float32)             # [Bk, 2d]
+        s = jax.lax.dot_general(
+            q, kvblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [R, Bk] = q @ k^T
+
+        k_pos = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (R, block_k), 1
+        )
+        k_blk_id = k_pos // sel_block
+        fine_ok, slide_ok = _masks(
+            row_pos, q_blk, k_pos, k_blk_id, sel_idx, sel_msk, G, num_sel,
+            window, n_k,
+        )
+
+        def online(m, l, acc, mask):
+            sm_ = jnp.where(mask, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(sm_, axis=-1, keepdims=True))
+            p = jnp.where(mask, jnp.exp(sm_ - m_new), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, kvblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [R, 2d]
+            return m_new, l_new, acc_new
+
+        fm, fl, facc = online(fm, fl, facc, fine_ok)
+        in_band = (i + 1) * block_k > qi * Tq - window
+        sm, sl, sacc = jax.lax.cond(
+            in_band,
+            lambda args: online(args[0], args[1], args[2], slide_ok),
+            lambda args: args,
+            (sm, sl, sacc),
+        )
+        return fm, fl, facc, sm, sl, sacc
+
+    z = jnp.zeros((R, 1), jnp.float32)
+    zacc = jnp.zeros((R, d2), jnp.float32)
+    init = (jnp.full((R, 1), NEG_INF, jnp.float32), z, zacc,
+            jnp.full((R, 1), NEG_INF, jnp.float32), z, zacc)
+    fm, fl, facc, sm, sl, sacc = jax.lax.fori_loop(0, num_kb_live, body, init)
+
+    fo_ref[0, 0] = (facc / jnp.maximum(fl, 1e-30)).reshape(G, Tq, d2).astype(fo_ref.dtype)
+    so_ref[0, 0] = (sacc / jnp.maximum(sl, 1e-30)).reshape(G, Tq, d2).astype(so_ref.dtype)
+    flse_ref[0, 0] = (fm + jnp.log(jnp.maximum(fl, 1e-30))).reshape(G, Tq, 1)
+    slse_ref[0, 0] = (sm + jnp.log(jnp.maximum(sl, 1e-30))).reshape(G, Tq, 1)
+
+
 def _forward(
     rq, rk, v, sel_idx, sel_mask, *, sel_block, window, scale,
     block_q, block_k, interpret,
@@ -176,50 +276,64 @@ def _forward(
     msk = jnp.pad(sel_mask.astype(jnp.int32),
                   ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
+    stream = (FORCE_STREAM or n_k >= STREAM_MIN_NK) and (2 * d) % 128 == 0
     grid = (b, kvh, n_pad // Tq)
-    fo, so, f_lse, s_lse = pl.pallas_call(
-        functools.partial(
+    sel_spec = pl.BlockSpec((1, 1, Tq, S), lambda bi, hi, qi: (bi, hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, G, Tq, 1),
+                            lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                            memory_space=pltpu.VMEM)
+    d_out = 2 * d if stream else d
+    q_spec = pl.BlockSpec((1, 1, G, Tq, d_out),
+                          lambda bi, hi, qi: (bi, hi, 0, qi, 0),
+                          memory_space=pltpu.VMEM)
+
+    if stream:
+        kvpack = jnp.concatenate([kp, vp], axis=-1)        # [b,kvh,nk_pad,2d]
+        q5 = jnp.pad(q5, ((0, 0),) * 4 + ((0, d),))        # zero v-half lanes
+        kernel = functools.partial(
+            _kernel_stream, scale=scale, sel_block=sel_block, window=window,
+            block_k=Bk, n_k=n_k, num_sel=S,
+        )
+        in_specs = [sel_spec, sel_spec, q_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]     # kv stays in HBM
+        operands = (idx.astype(jnp.int32), msk, q5, kvpack)
+        scratch = [pltpu.VMEM((2, Bk, 2 * d), rk.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kernel = functools.partial(
             _kernel, scale=scale, sel_block=sel_block, window=window,
             block_k=Bk, n_k=n_k, num_sel=S,
-        ),
+        )
+        kv_spec = pl.BlockSpec((1, 1, nk_pad, d),
+                               lambda bi, hi, qi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs = [sel_spec, sel_spec, q_spec, kv_spec, kv_spec]
+        operands = (idx.astype(jnp.int32), msk, q5, kp, vp)
+        scratch = []
+
+    fo, so, f_lse, s_lse = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Tq, S), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tq, S), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq, d),
-                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, G, Tq, d),
-                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq, d),
-                         lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq, 1), lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G, Tq, 1), lambda bi, hi, qi: (bi, hi, 0, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=(q_spec, q_spec, lse_spec, lse_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
-            jax.ShapeDtypeStruct((b, kvh, G, n_pad, d), rq.dtype),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad, d_out), rq.dtype),
+            jax.ShapeDtypeStruct((b, kvh, G, n_pad, d_out), rq.dtype),
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, kvh, G, n_pad, 1), jnp.float32),
         ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(idx.astype(jnp.int32), msk, q5, kp, vp)
+    )(*operands)
 
+    if stream:
+        # v-half columns of p @ kv are the attention output
+        fo = fo[..., d:]
+        so = so[..., d:]
     fo = fo.reshape(b, h, n_pad, d)[:, :, :n]
     so = so.reshape(b, h, n_pad, d)[:, :, :n]
     return fo, so, f_lse, s_lse

@@ -62,7 +62,7 @@ def paged_gather(
         num_scalar_prefetch=1,
         grid=(b, kvh),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # cache stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, 1, num_slots * block_size, d),

@@ -51,6 +51,9 @@ def main():
     p.add_argument("--models", nargs="+", default=["full", "mlp"],
                    help="model types (checkpoint dirs ckpt/<name>_seqN or fresh)")
     p.add_argument("--ckpt-root", default="ckpt")
+    p.add_argument("--ckpt-suffix", default="",
+                   help="suffix after _seqN in checkpoint dir names "
+                        "(e.g. _s5000 or _cpt)")
     p.add_argument("--seq-len", type=int, default=512)
     p.add_argument("--out-dir", default="exp_result")
     p.add_argument("--batch-sizes", nargs="+", type=int, default=[1, 8, 64])
@@ -74,7 +77,9 @@ def main():
 
     for mt in args.models:
         name = "full_attn" if mt == "full" else f"sparse_{mt}"
-        ckpt_dir = os.path.join(args.ckpt_root, f"{name}_seq{args.seq_len}")
+        ckpt_dir = os.path.join(
+            args.ckpt_root, f"{name}_seq{args.seq_len}{args.ckpt_suffix}"
+        )
         params, cfg, step = load_model(ckpt_dir, mt)
         if args.attn_impl and cfg.use_sparse_attn:
             cfg = cfg.replace(attn_impl=args.attn_impl)
