@@ -146,6 +146,19 @@ def dryrun(n_devices: int, use_sparse: bool = True) -> None:
             assert np.isfinite(np.asarray(plogits)).all()
             print("dryrun pallas decode step ok")
 
+    # context parallelism: sequence axis sharded over a 1-D seq mesh
+    from .context import context_parallel_loss, make_seq_mesh
+
+    seq_mesh = make_seq_mesh(n_devices)
+    rep_params = jax.device_get(params)  # CP replicates weights
+    ids = np.zeros((2, 8 * n_devices + 1), np.int32)
+    closs = jax.jit(
+        lambda p, i: context_parallel_loss(p, model_cfg, i, seq_mesh)
+    )(rep_params, ids)
+    closs = float(jax.block_until_ready(closs))
+    assert np.isfinite(closs), closs
+    print(f"dryrun context-parallel loss ok: loss={closs:.4f}")
+
 
 if __name__ == "__main__":
     dryrun(len(jax.devices()))

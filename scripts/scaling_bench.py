@@ -15,8 +15,9 @@ hardware.  On a virtual CPU mesh all "devices" share one host's cores, so
 step time inherently grows ~N x; there the efficiency is host-normalized
 (N * t1 / tN), which isolates the quantity that is actually measurable on
 a shared host: sharding/communication overhead beyond the inherent N x
-compute (resharding pathologies push it below 1).  The CSV records which
-normalization was used.
+compute (resharding pathologies push it below 1; values above 1 simply
+mean the larger virtual mesh recruits more of the host's cores, i.e. no
+sharding pathology).  The CSV records which normalization was used.
 """
 
 import argparse
@@ -90,7 +91,14 @@ def main():
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--per-device-batch", type=int, default=2)
     p.add_argument("--csv", default="exp_result/scaling.csv")
+    p.add_argument("--force-cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS=cpu set via env var); combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N")
     args = p.parse_args()
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     model_cfg = tiny_test_config(heads=8, kv_heads=4, dim=128, dim_head=16)
     avail = jax.device_count()
