@@ -113,7 +113,10 @@ def full_attention_chunked(
         mask = (pc[:, None] >= kj[None, :]) if causal else None
         return attend(qc, k, v, mask=mask, scale=scale)
 
-    outs = jax.lax.map(one, (q_chunks, pos))
+    # remat per chunk: without it the backward saves every chunk's [chunk, n]
+    # attention weights -> O(n^2) per layer residency, which OOMs seq-4096
+    # full-attention training; recomputing them is the flash-style trade
+    outs = jax.lax.map(jax.checkpoint(one), (q_chunks, pos))
     return jnp.moveaxis(outs, 0, 2).reshape(b, h, Nc, d)[:, :, :n]
 
 

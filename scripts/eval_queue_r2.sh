@@ -15,11 +15,11 @@ run() {
   log "DONE $name exit=$rc $(tail -1 /tmp/eval_${name}.log | head -c 200)"
 }
 
-# wait for the training queue
-while ! grep -q "QUEUE COMPLETE" /tmp/queue_r2.log 2>/dev/null; do
+# wait for both training queues (B includes the re-run full-attn baseline)
+while ! grep -q "QUEUE B COMPLETE" /tmp/queue_r2b.log 2>/dev/null; do
   sleep 120
 done
-log "training queue complete; starting evals"
+log "training queues complete; starting evals"
 
 # stale round-1 artifacts (1200-step models) -> archive
 mkdir -p exp_result/r1_archive
