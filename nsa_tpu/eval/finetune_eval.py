@@ -45,6 +45,26 @@ def greedy_generate_reforward(
     return ids[len(prompt_ids):]
 
 
+def greedy_generate_fixed(
+    forward_fn, prompt_ids: np.ndarray, gen_len: int, fixed_len: int
+) -> np.ndarray:
+    """Greedy generation with a FIXED-length buffer: causality makes the
+    garbage suffix irrelevant, so every step reuses one compiled forward
+    (the growing-length reforward above recompiles per length — fine on
+    eager GPU, pathological through a jit/TPU tunnel)."""
+    buf = np.zeros(fixed_len, np.int32)
+    n0 = n = min(len(prompt_ids), fixed_len - 1)
+    buf[:n] = prompt_ids[:n]
+    for _ in range(gen_len):
+        logits = np.asarray(forward_fn(jnp.asarray(buf)[None]))[0]
+        nxt = int(np.argmax(logits[n - 1]))
+        buf[n] = nxt
+        n += 1
+        if nxt == ord("\n") or n >= fixed_len:
+            break
+    return buf[n0:n]
+
+
 def evaluate_qa_accuracy(
     adapters,
     teacher_params,
@@ -54,21 +74,34 @@ def evaluate_qa_accuracy(
     max_samples: int = 50,
     json_path: Optional[str] = None,
     compare_base=None,  # optional fn(ids)->logits for the frozen base
+    fixed_len: Optional[int] = None,
 ) -> Dict:
     def student_fn(ids):
         return adapted_forward(adapters, teacher_params, cfg_student, ids)
 
+    if fixed_len is not None:
+        import jax as _jax
+        student_fn = _jax.jit(student_fn)
+        if compare_base is not None:
+            compare_base = _jax.jit(compare_base)
+
+        def gen_with(fn, prompt):
+            return greedy_generate_fixed(fn, prompt, gen_len, fixed_len)
+    else:
+        def gen_with(fn, prompt):
+            return greedy_generate_reforward(fn, prompt, gen_len)
+
     results, correct, base_correct = [], 0, 0
     for q, a in pairs[:max_samples]:
         prompt = np.frombuffer(f"{q}\nAnswer: ".encode(), np.uint8).astype(np.int32)
-        gen = greedy_generate_reforward(student_fn, prompt, gen_len)
+        gen = gen_with(student_fn, prompt)
         text = f"{q}\nAnswer: " + bytes(gen.astype(np.uint8)).decode(errors="ignore")
         pred = extract_answer(text)
         hit = pred is not None and pred.startswith(a.strip().lower())
         correct += int(hit)
         row = {"question": q, "gold": a, "pred": pred, "correct": hit}
         if compare_base is not None:
-            bgen = greedy_generate_reforward(compare_base, prompt, gen_len)
+            bgen = gen_with(compare_base, prompt)
             btext = f"{q}\nAnswer: " + bytes(bgen.astype(np.uint8)).decode(errors="ignore")
             bpred = extract_answer(btext)
             bhit = bpred is not None and bpred.startswith(a.strip().lower())

@@ -176,26 +176,29 @@ def _first_existing(paths) -> Optional[str]:
     return None
 
 
+def load_cs441_qa_pairs(
+    path: Optional[str] = None, split: str = "test"
+) -> List[Tuple[str, str]]:
+    """CS441 (question, answer) pairs — 196 train / 84 test in the
+    reference's JSON (reference: data_collection/cs441_synthetic_*.json);
+    falls back to the built-in synthetic QA set when no file is available."""
+    cands = CS441_TRAIN_CANDIDATES if split == "train" else CS441_CANDIDATES
+    path = path or _first_existing(cands)
+    if path is None:
+        return synthetic_qa_pairs(84 if split == "test" else 196)
+    with open(path) as f:
+        raw = json.load(f)
+    return [(item.get("question", ""), item.get("answer", "")) for item in raw]
+
+
 def load_cs441_qa_bytes(path: Optional[str] = None, split: str = "test") -> np.ndarray:
     """CS441 QA pairs serialized to a byte stream for OOD perplexity.
 
     Serialization matches the reference exactly: ``question + "\\nAnswer: "
     + answer + "\\n\\n"`` per pair, UTF-8 encoded (reference:
-    evaluation/perplexity.py:178-202).  Falls back to a small built-in
-    synthetic QA set when no file is available.
+    evaluation/perplexity.py:178-202).
     """
-    cands = CS441_TRAIN_CANDIDATES if split == "train" else CS441_CANDIDATES
-    path = path or _first_existing(cands)
-    if path is None:
-        pairs = synthetic_qa_pairs(84 if split == "test" else 196)
-    else:
-        with open(path) as f:
-            raw = json.load(f)
-        pairs = []
-        for item in raw:
-            q = item.get("question", "")
-            a = item.get("answer", "")
-            pairs.append((q, a))
+    pairs = load_cs441_qa_pairs(path, split)
     text = "".join(f"{q}\nAnswer: {a}\n\n" for q, a in pairs)
     return np.frombuffer(text.encode("utf-8"), dtype=np.uint8).copy()
 

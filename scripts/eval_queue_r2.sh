@@ -58,4 +58,12 @@ run serve python scripts/serve_bench.py --max-len 4096 --prompt-len 3900 \
   --gen 100 --requests 16 --max-batch 8 \
   --ckpt ckpt/sparse_mlp_seq4096
 
+# 7. fine-tune line end-to-end on real task data (F4 + E6): NSA adapters
+#    distilled from the trained full-attention teacher, base-vs-adapted
+#    CS441 QA accuracy
+run finetune python scripts/finetune_cs441.py \
+  --teacher-ckpt ckpt/full_attn_seq512_s5000 --steps 300 --mode ce \
+  --out exp_result/finetune_cs441.json \
+  --log-csv exp_result/finetune_cs441_loss.csv
+
 log "EVAL QUEUE COMPLETE"
