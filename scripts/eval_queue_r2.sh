@@ -58,7 +58,11 @@ run serve python scripts/serve_bench.py --max-len 4096 --prompt-len 3900 \
   --gen 100 --requests 16 --max-batch 8 \
   --ckpt ckpt/sparse_mlp_seq4096
 
-# 7. fine-tune line end-to-end on real task data (F4 + E6): NSA adapters
+# 7. long-context streaming kernels on the real chip (Mosaic compile +
+#    manual DMA at 16k context; interpret equivalence is already tested)
+run stream16k python scripts/validate_streaming_tpu.py --seq-len 16384
+
+# 8. fine-tune line end-to-end on real task data (F4 + E6): NSA adapters
 #    distilled from the trained full-attention teacher, base-vs-adapted
 #    CS441 QA accuracy
 run finetune python scripts/finetune_cs441.py \
