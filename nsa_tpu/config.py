@@ -105,6 +105,11 @@ class ModelConfig:
     # Pallas fwd+bwd kernels inside the TPU compiler's program-size budget
     # at seq 4096 (an unrolled depth-6 program fails the remote compile).
     scan_layers: bool = True
+    # Batch tiles for the decode kernels (a larger tile = fewer sequential
+    # grid programs but more VMEM per program; capped to a power-of-two
+    # divisor of the batch at call time).
+    decode_select_tile: int = 32
+    decode_attend_tile: int = 16
 
     def __post_init__(self):
         if self.heads % max(self.kv_heads, 1):

@@ -508,6 +508,10 @@ def sparse_attention_decode(
     if skip_compressed or skip_fine:
         use_decode_kernels = False
 
+    gates = jax.nn.sigmoid(
+        gate_logits + params["gate_b"].astype(gate_logits.dtype)
+    ).reshape(b, h, 3)
+
     if use_decode_kernels:
         from .pallas.nsa_decode import decode_attend, decode_select
 
@@ -518,18 +522,19 @@ def sparse_attention_decode(
             max_blocks=max_len // Bs,
             stride=stride, sel_block=Bs, window=window, num_sel=S_k,
             n_slide=n_slide, scale=scale,
+            batch_tile=cfg.decode_select_tile,
         )
         kvb = kv_cache.reshape(b, kvh, max_len // Bs, Bs, 2 * d)
         fkv = gather_blocks(kvb, idx_all[:, :, None])[:, :, 0]
         fkv = fkv.reshape(b, kvh, (S_k + n_slide) * Bs, 2 * d)
-        f_out4, s_out4 = decode_attend(
-            rq.reshape(b, kvh, g, d), fkv, msk, t,
+        # gate combine happens in-kernel (saves two ~30us dispatches/layer)
+        combined = decode_attend(
+            rq.reshape(b, kvh, g, d), fkv, msk, c_out4,
+            gates.reshape(b, kvh, g, 3), t,
             sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
-            scale=scale,
+            scale=scale, batch_tile=cfg.decode_attend_tile,
         )
-        compressed_out = c_out4.reshape(b, h, d)
-        fine_out = f_out4.reshape(b, h, d)
-        sliding_out = s_out4.reshape(b, h, d)
+        out = combined.reshape(b, h, d)
     else:
         if skip_compressed:
             compressed_out = jnp.zeros((b, h, d), q.dtype)
@@ -547,13 +552,9 @@ def sparse_attention_decode(
                 cfg, csim, rq, kv_cache, t, b, h, kvh, g, d, num_mem, scale,
                 max_len,
             )
+        stacked = jnp.stack([compressed_out, fine_out, sliding_out], axis=-1)
+        out = jnp.einsum("bhs,bhds->bhd", gates.astype(stacked.dtype), stacked)
 
-    # ---- gate combine + output projection ---------------------------------
-    gates = jax.nn.sigmoid(
-        gate_logits + params["gate_b"].astype(gate_logits.dtype)
-    ).reshape(b, h, 3)
-    stacked = jnp.stack([compressed_out, fine_out, sliding_out], axis=-1)
-    out = jnp.einsum("bhs,bhds->bhd", gates.astype(stacked.dtype), stacked)
     out = out.reshape(b, 1, h * d) @ params["w_out"].astype(x.dtype)
 
     new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring)

@@ -214,8 +214,9 @@ def _attend_kernel(
     rq_ref,         # [Bt, 1, g, d]
     fkv_ref,        # [Bt, 1, J, 2d]
     msk_ref,        # [Bt, INFO_WIDTH] int32 packed info (msk at n_slots+)
-    fout_ref,       # [Bt, 1, g, d]
-    sout_ref,       # [Bt, 1, g, d]
+    cout_ref,       # [Bt, 1, g, d] branch-1 output (from decode_select)
+    gates_ref,      # [Bt, 1, g, 3*d] per-head gates broadcast over d
+    out_ref,        # [Bt, 1, g, d] gate-combined attention output
     *, scale, sel_block, window, num_sel, n_slide,
 ):
     t = scal_ref[0]
@@ -256,19 +257,27 @@ def _attend_kernel(
     )
     slide_ok = trail_valid & (j_global >= t - window) & (j_global <= t)
 
-    def masked_out(ok, out_ref):
+    def masked_out(ok):
         s_ = jnp.where(ok, sim, NEG)
         m = jnp.max(s_, axis=-1, keepdims=True)
         p = jnp.where(ok, jnp.exp(s_ - m), 0.0)
         denom = jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
-        out = jax.lax.dot_general(
+        return jax.lax.dot_general(
             p / denom, fv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        out_ref[:, 0] = out.astype(out_ref.dtype)
 
-    masked_out(fine_ok, fout_ref)
-    masked_out(slide_ok, sout_ref)
+    f_out = masked_out(fine_ok)
+    s_out = masked_out(slide_ok)
+
+    # gate combine in-kernel: out = gc*c + gf*f + gs*s (the XLA stack +
+    # einsum after the kernel cost two more ~30us dispatches per layer)
+    c_out = cout_ref[:, 0].astype(jnp.float32)
+    gts = gates_ref[:, 0].astype(jnp.float32)              # [Bt, g, 3d]
+    out = (gts[:, :, :d] * c_out
+           + gts[:, :, d:2 * d] * f_out
+           + gts[:, :, 2 * d:] * s_out)
+    out_ref[:, 0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -280,17 +289,20 @@ def decode_attend(
     rq: jnp.ndarray,       # [b, kvh, g, d] rotated queries
     fkv: jnp.ndarray,      # [b, kvh, J, 2d] gathered packed blocks
     msk: jnp.ndarray,      # [b, kvh*INFO_WIDTH] packed info from decode_select
+    c_out: jnp.ndarray,    # [b, kvh, g, d] branch-1 output from decode_select
+    gates: jnp.ndarray,    # [b, kvh, g, 3] sigmoid gates (c, f, s order)
     t: jnp.ndarray,
     *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
     batch_tile: int = 16, interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (fine_out, sliding_out) each [b, kvh, g, d]."""
+) -> jnp.ndarray:
+    """-> gate-combined attention output [b, kvh, g, d]."""
     b, kvh, g, d = rq.shape
     J = fkv.shape[2]
     interpret = resolve_interpret(interpret)
     Bt = _pick_batch_tile(b, batch_tile)
     scal = t.astype(jnp.int32)[None]
-    msk_packed = msk
+    # broadcast each gate over d and pack on the lane dim: [b, kvh, g, 3d]
+    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -302,24 +314,21 @@ def decode_attend(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, INFO_WIDTH), lambda hi, bi, s: (bi, hi),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, 3 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    f_out, s_out = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _attend_kernel, scale=scale, sel_block=sel_block, window=window,
             num_sel=num_sel, n_slide=n_slide,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, kvh, g, d), rq.dtype),
-            jax.ShapeDtypeStruct((b, kvh, g, d), rq.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), rq.dtype),
         interpret=interpret,
-    )(scal, rq, fkv, msk_packed)
-    return f_out, s_out
+    )(scal, rq, fkv, msk, c_out, gates_bc)
+    return out
