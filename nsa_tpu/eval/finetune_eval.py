@@ -54,7 +54,9 @@ def greedy_generate_fixed(
     eager GPU, pathological through a jit/TPU tunnel)."""
     buf = np.zeros(fixed_len, np.int32)
     n0 = n = min(len(prompt_ids), fixed_len - 1)
-    buf[:n] = prompt_ids[:n]
+    # overlong prompts keep their TAIL (the "...\nAnswer: " cue must
+    # survive truncation or the model generates a question continuation)
+    buf[:n] = prompt_ids[len(prompt_ids) - n:]
     for _ in range(gen_len):
         logits = np.asarray(forward_fn(jnp.asarray(buf)[None]))[0]
         nxt = int(np.argmax(logits[n - 1]))

@@ -499,11 +499,24 @@ def sparse_attention_decode(
     # union cannot express).  Any batch size works: the kernel wrappers
     # pick the largest power-of-two batch tile dividing b.  mem_kv width is
     # generic in the select kernel (importance excludes mem slots, matching
-    # selection.group_importance).
+    # selection.group_importance).  A tile is Mosaic-legal only if it is a
+    # sublane multiple (8) or spans the whole batch (block == array dims);
+    # batches like 20 or 36 would otherwise pick tile 4/2 and fail the TPU
+    # compile, so they fall back to the XLA path instead.
+    from .pallas.nsa_decode import _pick_batch_tile
+
+    _tiles_ok = all(
+        bt % 8 == 0 or bt == b
+        for bt in (
+            _pick_batch_tile(b, cfg.decode_select_tile),
+            _pick_batch_tile(b, cfg.decode_attend_tile),
+        )
+    )
     use_decode_kernels = (
         cfg.attn_impl == "pallas"
         and nsa.query_heads_share_selected_kv
         and nsa.num_compress_per_fine > 1
+        and _tiles_ok
     )
     if skip_compressed or skip_fine:
         use_decode_kernels = False

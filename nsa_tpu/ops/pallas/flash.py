@@ -99,7 +99,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
 
 
 # K/V rows at least this long use the HBM-streaming kernel
-STREAM_MIN_NK = 8192
+from .runtime import STREAM_MIN_NK  # noqa: E402  (shared threshold)
 
 
 def _flash_kernel_stream(q_ref, kv_ref, o_ref, kv_s, sem_kv, *, scale,

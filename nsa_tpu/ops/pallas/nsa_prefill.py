@@ -153,7 +153,7 @@ def _kernel(idx_ref, msk_ref, q_ref, k_ref, v_ref, fo_ref, so_ref,
 # K/V rows at least this long use the HBM-streaming forward (the
 # block-mapped whole-row layout is faster below it and is the compile
 # configuration the seq-4096 training path is validated with)
-STREAM_MIN_NK = 8192
+from .runtime import STREAM_MIN_NK  # noqa: E402  (shared threshold)
 # test hook: force the streaming forward at any length
 FORCE_STREAM = False
 

@@ -7,6 +7,13 @@ from typing import Optional
 import jax
 
 
+# Context length at which the forward kernels switch from whole-row K/V
+# VMEM residency to streaming K/V through double-buffered VMEM scratch via
+# manual HBM DMA (shared by flash.py and nsa_prefill.py so the threshold
+# cannot drift between the two kernel families).
+STREAM_MIN_NK = 8192
+
+
 def resolve_interpret(interpret: Optional[bool]) -> bool:
     """``None`` -> interpret mode iff the default backend is CPU.
 

@@ -229,7 +229,12 @@ class ContinuousBatchingEngine:
         self._admit()
         if self.num_active == 0:
             return
-        if self.steps_per_sync > 1:
+        # multi-step only when a full sync window fits in every active
+        # slot's cache room: num_steps is jit-static, so a shrinking tail
+        # k would compile a fresh scan per distinct value (2-10 min each
+        # through this tunnel); the tail single-steps on the already-
+        # compiled program instead.
+        if self.steps_per_sync > 1 and self._room() >= self.steps_per_sync:
             self._multi_step()
             return
         logits, self.cache_layers = ragged_decode_step(
@@ -251,14 +256,18 @@ class ContinuousBatchingEngine:
                 continue
             self._maybe_retire(slot)
 
+    def _room(self) -> int:
+        """Smallest cache headroom over active slots."""
+        return min(
+            self.max_len - 1 - int(self.seq_lens[s])
+            for s, r in enumerate(self.slot_req) if r is not None
+        )
+
     def _multi_step(self):
-        """Generate up to ``steps_per_sync`` greedy tokens per active slot
-        in one device call; token-for-token identical to single-stepping
-        (same caches, same greedy argmax), only the sync cadence differs."""
-        active = [s for s, r in enumerate(self.slot_req) if r is not None]
-        # never let a continuing slot run past cache capacity mid-sync
-        room = min(self.max_len - 1 - int(self.seq_lens[s]) for s in active)
-        k = max(1, min(self.steps_per_sync, room))
+        """Generate ``steps_per_sync`` greedy tokens per active slot in one
+        device call; token-for-token identical to single-stepping (same
+        caches, same greedy argmax), only the sync cadence differs."""
+        k = self.steps_per_sync
         toks, self.cache_layers = ragged_decode_multi(
             self.params, self.cfg, jnp.asarray(self._next_token),
             self.cache_layers, jnp.asarray(self.seq_lens), k,

@@ -93,12 +93,8 @@ def final_answer(task: str, answer_text: str) -> str:
     evaluate_sparse_attention_finetune.py:25-67 does the same extraction
     on generations)."""
     if task == "strategyqa":
-        low = answer_text.lower()
-        if "yes" in low and "no" not in low.split("yes")[0]:
-            return "yes"
-        return "yes" if low.strip().startswith("yes") else (
-            "no" if "no" in low else low.strip()
-        )
+        m = re.search(r"\b(yes|no)\b", answer_text.lower())
+        return m.group(1) if m else answer_text.strip().lower()
     m = _FINAL_RE.search(answer_text)
     if m:
         return m.group(1).strip().replace(",", "").replace("$", "")

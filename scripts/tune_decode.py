@@ -49,8 +49,9 @@ def time_step(params, cfg, batch, prompt, gen, max_len):
     ts = []
     for i in range(3):
         # perturb inputs: this backend short-circuits repeated identical
-        # execution requests (see eval/efficiency.py)
-        salt = jnp.int32(i % 2)
+        # execution requests (see eval/efficiency.py); warmup used salt 0,
+        # so i+1 keeps every timed request distinct
+        salt = jnp.int32(i + 1)
         t0 = time.perf_counter()
         jax.block_until_ready(scan(first, cache, salt))
         ts.append(time.perf_counter() - t0)

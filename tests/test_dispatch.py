@@ -58,6 +58,14 @@ class TestDecodeDispatch:
         _, calls = _run_decode(cfg, batch=batch, monkeypatch=monkeypatch)
         assert calls > 0, f"decode kernels did not run for batch={batch}"
 
+    def test_sublane_illegal_tile_falls_back(self, monkeypatch):
+        """b=36 picks tile 4 (< sublane 8, != b) for both kernels — a shape
+        Mosaic cannot tile — so the decode MUST take the XLA path."""
+        cfg = tiny_test_config(attn_impl="pallas")
+        logits, calls = _run_decode(cfg, batch=36, monkeypatch=monkeypatch)
+        assert calls == 0, "illegal tile must fall back to XLA"
+        assert np.all(np.isfinite(logits))
+
     def test_kernel_path_runs_with_multiple_mem_kv(self, monkeypatch):
         cfg = tiny_test_config(attn_impl="pallas")
         cfg = cfg.replace(
