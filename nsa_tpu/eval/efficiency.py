@@ -117,6 +117,96 @@ def measure_decode(
     return batch_size * gen_len / dt
 
 
+def run_efficiency_sweep(
+    params,
+    cfg: ModelConfig,
+    model_type: str,
+    batch_sizes,
+    prompt_lens,
+    gen_len: int = 100,
+    seq_len: Optional[int] = None,
+    csv_path: Optional[str] = None,
+    step: int = 0,
+) -> list:
+    """Compile-economical (bs x prompt_len) sweep.
+
+    ONE bucketed prefill program and ONE decode-scan program per batch
+    size serve every prompt length: the prompt is right-padded to the
+    ``max_len`` bucket and prefilled with its true length — the serving
+    engine's admission semantics (serve.py:bucketed_prefill).  An exact
+    per-config build (measure_prefill/measure_decode) would compile
+    O(|bs| x |prompts|) distinct TPU programs at minutes each; the sweep
+    compiles 2 x |bs|.
+
+    Honesty notes recorded in the CSV: ``max_len`` is the static cache
+    capacity every decode row runs against (a real dynamic-length server
+    would use a smaller bucket for short prompts — the reference's torch
+    cache grows with length); ``prefill_tokens_per_s`` counts only true
+    prompt tokens over the padded-bucket forward time (conservative for
+    short prompts), with the padded-work rate in
+    ``prefill_bucket_tokens_per_s``.
+    """
+    prompt_lens = list(prompt_lens)
+    stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
+    blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1, 128)
+    need = max(max(prompt_lens) + gen_len + 1, seq_len or 0)
+    max_len = round_up_mult(need, blk)
+    rows = []
+
+    for bs in batch_sizes:
+        @jax.jit
+        def prefill_first(p, ids, tl):
+            logits, cache = transformer_prefill(
+                p, cfg, ids, max_len, true_len=tl
+            )
+            last = logits[jnp.arange(ids.shape[0]), tl - 1]
+            return jnp.argmax(last, -1).astype(jnp.int32), cache
+
+        @jax.jit
+        def decode_scan(p, first, cache):
+            def step_fn(carry, _):
+                tok, cache = carry
+                logits, cache = transformer_decode_step(p, cfg, tok, cache)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, cache), tok
+
+            (_, _), toks = jax.lax.scan(
+                step_fn, (first, cache), None, length=gen_len
+            )
+            return toks
+
+        for prompt_len in prompt_lens:
+            ids = jnp.zeros((bs, max_len), jnp.int32)
+            tl = jnp.asarray(prompt_len, jnp.int32)
+            dt_pre = _time_fn(prefill_first, params, ids, tl, iters=3, vary=1)
+            first, cache = jax.block_until_ready(
+                prefill_first(params, ids, tl)
+            )
+            dt_dec = _time_fn(decode_scan, params, first, cache,
+                              warmup=1, iters=3, vary=1)
+            row = {
+                "model_type": model_type,
+                "step": step,
+                "seq_len": seq_len or max_len,
+                "batch_size": bs,
+                "prompt_len": prompt_len,
+                "gen_len": gen_len,
+                "max_len": max_len,
+                "prefill_tokens_per_s": round(bs * prompt_len / dt_pre, 1),
+                "prefill_bucket_tokens_per_s": round(bs * max_len / dt_pre, 1),
+                "decode_tokens_per_s": round(bs * gen_len / dt_dec, 1),
+                "kv_cache_saving_ratio": round(
+                    kv_cache_saving_ratio(cfg, prompt_len), 4
+                ),
+            }
+            rows.append(row)
+            if csv_path:
+                CSVLogger(csv_path).append(row)
+            print("efficiency:", row, flush=True)
+            del cache
+    return rows
+
+
 def run_efficiency_eval(
     params,
     cfg: ModelConfig,

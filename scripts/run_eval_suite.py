@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from nsa_tpu.config import DataConfig, reference_model_config
-from nsa_tpu.eval.efficiency import run_efficiency_eval
+from nsa_tpu.eval.efficiency import run_efficiency_sweep
 from nsa_tpu.eval.generate import generate_samples
 from nsa_tpu.eval.perplexity import run_ppl_eval
 from nsa_tpu.eval.visualize import plot_efficiency, plot_ppl, ppl_markdown_table
@@ -93,13 +93,11 @@ def main():
             print("ppl:", row)
 
         if not args.skip_efficiency:
-            for bs in args.batch_sizes:
-                for pl_ in args.prompt_lens:
-                    row = run_efficiency_eval(
-                        params, cfg, name, bs, pl_, args.gen_len,
-                        seq_len=args.seq_len, csv_path=eff_csv, step=step,
-                    )
-                    print("efficiency:", row)
+            run_efficiency_sweep(
+                params, cfg, name, args.batch_sizes, args.prompt_lens,
+                args.gen_len, seq_len=args.seq_len, csv_path=eff_csv,
+                step=step,
+            )
 
         if not args.skip_generate:
             row = generate_samples(

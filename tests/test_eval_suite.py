@@ -118,3 +118,30 @@ class TestVisualize:
         p3 = plot_train_loss({"full": str(loss_csv)}, str(tmp_path / "loss.png"))
         import os as _os
         assert all(_os.path.getsize(p) > 1000 for p in (p1, p2, p3))
+
+
+class TestEfficiencySweep:
+    @pytest.mark.parametrize("sparse", [True, False])
+    def test_bucketed_sweep_runs_and_logs(self, tmp_path, sparse):
+        """run_efficiency_sweep: one prefill/decode program per batch size,
+        rows for every (bs, prompt_len), sane positive throughputs."""
+        from nsa_tpu.eval.efficiency import run_efficiency_sweep
+
+        cfg = tiny_test_config(use_sparse_attn=sparse)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        csv_path = tmp_path / "eff.csv"
+        rows = run_efficiency_sweep(
+            params, cfg, "m", batch_sizes=[2], prompt_lens=[9, 17],
+            gen_len=4, seq_len=64, csv_path=str(csv_path),
+        )
+        assert len(rows) == 2
+        for r in rows:
+            assert r["prefill_tokens_per_s"] > 0
+            assert r["decode_tokens_per_s"] > 0
+            assert r["max_len"] >= 64
+        assert csv_path.exists()
+        # padded-bucket rate must dominate the true-token rate
+        assert all(
+            r["prefill_bucket_tokens_per_s"] >= r["prefill_tokens_per_s"]
+            for r in rows
+        )
