@@ -110,12 +110,34 @@ def plot_efficiency(csv_path: str, out_path: str) -> str:
     return out_path
 
 
+def _read_loss_csv(path: str):
+    """Read a MetricsLogger CSV, tolerating the legacy mixed-shape files
+    whose header was fixed by whichever row type (train vs valid) came
+    first: rows wider than the header are mapped positionally to the
+    train-row schema (step, time_s, loss, tokens_per_s)."""
+    import csv as _csv
+
+    with open(path, newline="") as f:
+        rdr = _csv.reader(f)
+        header = next(rdr, None)
+        if header is None:
+            return []
+        rows = []
+        for vals in rdr:
+            if len(vals) <= len(header):
+                rows.append(dict(zip(header, vals)))
+            elif len(vals) == 4:
+                rows.append(dict(zip(
+                    ("step", "time_s", "loss", "tokens_per_s"), vals)))
+        return rows
+
+
 def plot_train_loss(csv_paths: Dict[str, str], out_path: str,
                     smooth: int = 20) -> str:
     """Overlay training loss curves from MetricsLogger CSVs."""
     fig, ax = plt.subplots(figsize=(8, 5))
     for label, path in csv_paths.items():
-        rows = [r for r in _read_csv(path) if r.get("loss")]
+        rows = [r for r in _read_loss_csv(path) if r.get("loss")]
         steps = [int(r["step"]) for r in rows]
         loss = [float(r["loss"]) for r in rows]
         if smooth > 1 and len(loss) > smooth:

@@ -24,9 +24,20 @@ class CSVLogger:
             os.makedirs(os.path.dirname(path), exist_ok=True)
 
     def append(self, row: Dict):
+        """Append one row; the header is fixed by the FIRST row ever
+        written, later rows are aligned to it (missing keys blank, new
+        keys appended in order at the end so nothing is silently dropped —
+        a train row following a valid-loss row must not lose its loss
+        column to the narrower header)."""
         exists = os.path.exists(self.path)
+        fields = list(row.keys())
+        if exists:
+            with open(self.path, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                fields = header + [k for k in row if k not in header]
         with open(self.path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            writer = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
             if not exists:
                 writer.writeheader()
             writer.writerow(row)
@@ -57,6 +68,10 @@ class MetricsLogger:
                          for k, v in metrics.items())
         print(f"[{stamp:8.1f}s] step {step}: {parts}", flush=True)
         if self.csv:
-            self.csv.append({"step": step, "time_s": round(stamp, 2), **metrics})
+            # unified schema: train and valid rows share one header
+            row = {"step": step, "time_s": round(stamp, 2),
+                   "loss": "", "tokens_per_s": "", "valid_loss": ""}
+            row.update(metrics)
+            self.csv.append(row)
         if self.wandb:
             self.wandb.log(metrics, step=step)
