@@ -75,25 +75,41 @@ def plot_efficiency(csv_path: str, out_path: str) -> str:
     fig, axes = plt.subplots(2, 2, figsize=(12, 9))
 
     for model, sub in sorted(by_model.items()):
-        sub_sorted = sorted(sub, key=lambda r: int(r["prompt_len"]))
-        prompts = [int(r["prompt_len"]) for r in sub_sorted]
-        axes[0][0].plot(
-            prompts, [float(r["decode_tokens_per_s"]) for r in sub_sorted],
-            marker="o", label=model,
+        # one line per batch size in the vs-prompt panels (a single line
+        # through every (bs, prompt) row draws a sawtooth)
+        by_bs = defaultdict(list)
+        for r in sub:
+            by_bs[int(r["batch_size"])].append(r)
+        for bs, rows_bs in sorted(by_bs.items()):
+            rows_bs = sorted(rows_bs, key=lambda r: int(r["prompt_len"]))
+            prompts = [int(r["prompt_len"]) for r in rows_bs]
+            axes[0][0].plot(
+                prompts,
+                [float(r["decode_tokens_per_s"]) for r in rows_bs],
+                marker="o", label=f"{model} bs{bs}",
+            )
+            axes[1][0].plot(
+                prompts,
+                [float(r["prefill_tokens_per_s"]) for r in rows_bs],
+                marker="s", label=f"{model} bs{bs}",
+            )
+        # decode vs batch at the LARGEST prompt length (the headline axis)
+        pmax = max(int(r["prompt_len"]) for r in sub)
+        by_batch = sorted(
+            (r for r in sub if int(r["prompt_len"]) == pmax),
+            key=lambda r: int(r["batch_size"]),
         )
-        axes[1][0].plot(
-            prompts, [float(r["prefill_tokens_per_s"]) for r in sub_sorted],
-            marker="s", label=model,
-        )
-        axes[1][1].plot(
-            prompts, [float(r["kv_cache_saving_ratio"]) for r in sub_sorted],
-            marker="^", label=model,
-        )
-        by_batch = sorted(sub, key=lambda r: int(r["batch_size"]))
         axes[0][1].plot(
             [int(r["batch_size"]) for r in by_batch],
             [float(r["decode_tokens_per_s"]) for r in by_batch],
-            marker="o", label=model,
+            marker="o", label=f"{model} prompt {pmax}",
+        )
+        # KV saving depends only on prompt length
+        seen = {}
+        for r in sorted(sub, key=lambda r: int(r["prompt_len"])):
+            seen[int(r["prompt_len"])] = float(r["kv_cache_saving_ratio"])
+        axes[1][1].plot(
+            list(seen.keys()), list(seen.values()), marker="^", label=model,
         )
 
     axes[0][0].set(title="decode tok/s vs prompt len", xlabel="prompt len")

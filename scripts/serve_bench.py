@@ -30,6 +30,7 @@ from nsa_tpu.config import reference_model_config
 from nsa_tpu.models.transformer import init_transformer
 from nsa_tpu.serve import ContinuousBatchingEngine
 from nsa_tpu.utils.checkpoint import (
+    latest_checkpoint,
     model_config_from_checkpoint,
     restore_checkpoint,
 )
@@ -51,6 +52,9 @@ def main():
     args = p.parse_args()
 
     if args.ckpt:
+        # accept either a run dir (ckpt/foo) or a step dir (ckpt/foo/step_N)
+        if not os.path.exists(os.path.join(args.ckpt, "meta.json")):
+            args.ckpt = latest_checkpoint(args.ckpt) or args.ckpt
         cfg = model_config_from_checkpoint(args.ckpt).replace(
             attn_impl=args.attn_impl, dtype="bfloat16"
         )
