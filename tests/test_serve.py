@@ -104,6 +104,23 @@ class TestEngine:
         for rid, want in zip(rids, wants):
             np.testing.assert_array_equal(outs[rid], want)
 
+    def test_multi_step_capacity_tail_single_steps(self, model):
+        """When cache room shrinks below steps_per_sync the engine must
+        finish on the single-step program (no per-remainder recompiles)
+        and stay token-for-token exact up to cache-capacity retirement."""
+        cfg, params = model
+        prompt = np.arange(1, 10, dtype=np.int32)          # len 9
+        want = reference_sample(params, cfg, prompt, 16)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=16, prefill_buckets=(16,),
+            steps_per_sync=4,
+        )
+        rid = eng.add_request(prompt, max_new_tokens=16)
+        outs = eng.run()
+        # capacity 15: 1 prefill + one 4-token sync + 2 single-step tail
+        assert 1 <= len(outs[rid]) <= 16
+        np.testing.assert_array_equal(outs[rid], want[: len(outs[rid])])
+
     def test_multi_step_stop_byte(self, model):
         cfg, params = model
         prompt = np.arange(1, 9, dtype=np.int32)
