@@ -78,14 +78,19 @@ def evaluate_qa_accuracy(
     compare_base=None,  # optional fn(ids)->logits for the frozen base
     fixed_len: Optional[int] = None,
 ) -> Dict:
+    # params enter the jit as ARGUMENTS: a closure would inline ~19M f32
+    # weights as HLO constants and blow the remote-compile request size
+    # limit (HTTP 413) — same rule as eval/efficiency.py:measure_prefill
     def student_fn(ids):
-        return adapted_forward(adapters, teacher_params, cfg_student, ids)
+        return _student_jit(adapters, teacher_params, ids)
 
+    import jax as _jax
+    _student_jit = _jax.jit(
+        lambda ad, tp, ids: adapted_forward(ad, tp, cfg_student, ids)
+    )
+    # compare_base is used as-is: the caller must pass a fn whose params
+    # are jit arguments (re-jitting it here would inline them again)
     if fixed_len is not None:
-        import jax as _jax
-        student_fn = _jax.jit(student_fn)
-        if compare_base is not None:
-            compare_base = _jax.jit(compare_base)
 
         def gen_with(fn, prompt):
             return greedy_generate_fixed(fn, prompt, gen_len, fixed_len)

@@ -78,8 +78,14 @@ def main():
     )
     print(f"fine-tune done: final loss {final_loss:.4f}")
 
+    # params as jit arguments (a closure would inline them as HLO
+    # constants -> remote-compile HTTP 413)
+    _base_jit = jax.jit(
+        lambda tp, ids: transformer_forward(tp, cfg_teacher, ids)
+    )
+
     def base_fn(ids):
-        return transformer_forward(teacher_params, cfg_teacher, ids)
+        return _base_jit(teacher_params, ids)
 
     result = evaluate_qa_accuracy(
         adapters, teacher_params, cfg_student, test_pairs,
