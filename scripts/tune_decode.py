@@ -27,17 +27,18 @@ from nsa_tpu.models.transformer import (
 
 
 def time_step(params, cfg, batch, prompt, gen, max_len):
+    # params as jit ARGUMENTS (a closure inlines ~19M weights as HLO
+    # constants -> remote-compile HTTP 413, see eval/efficiency.py)
     ids = jnp.zeros((batch, prompt), jnp.int32)
-    logits, cache = jax.block_until_ready(
-        jax.jit(lambda i: transformer_prefill(params, cfg, i, max_len))(ids)
-    )
+    prefill = jax.jit(lambda p, i: transformer_prefill(p, cfg, i, max_len))
+    logits, cache = jax.block_until_ready(prefill(params, ids))
     first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
     @jax.jit
-    def scan(first, cache, salt):
+    def scan(p, first, cache, salt):
         def step(carry, _):
             tok, cache = carry
-            logits, cache = transformer_decode_step(params, cfg, tok, cache)
+            logits, cache = transformer_decode_step(p, cfg, tok, cache)
             return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
 
         (tok, cache), _ = jax.lax.scan(
@@ -45,7 +46,7 @@ def time_step(params, cfg, batch, prompt, gen, max_len):
         )
         return tok
 
-    jax.block_until_ready(scan(first, cache, jnp.int32(0)))
+    jax.block_until_ready(scan(params, first, cache, jnp.int32(0)))
     ts = []
     for i in range(3):
         # perturb inputs: this backend short-circuits repeated identical
@@ -53,7 +54,7 @@ def time_step(params, cfg, batch, prompt, gen, max_len):
         # so i+1 keeps every timed request distinct
         salt = jnp.int32(i + 1)
         t0 = time.perf_counter()
-        jax.block_until_ready(scan(first, cache, salt))
+        jax.block_until_ready(scan(params, first, cache, salt))
         ts.append(time.perf_counter() - t0)
     return min(ts) / gen * 1000
 
