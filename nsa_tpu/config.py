@@ -108,8 +108,11 @@ class ModelConfig:
     # Batch tiles for the decode kernels (a larger tile = fewer sequential
     # grid programs but more VMEM per program; capped to a power-of-two
     # divisor of the batch at call time).
+    # TPU sweep (scripts/tune_decode.py, bs 64 / max_len 4096): select 32 +
+    # attend 64 is fastest (1.104 ms/step vs 1.143 at attend 16); select 64
+    # exceeds VMEM (the ckv block is 16MB at tile 64).
     decode_select_tile: int = 32
-    decode_attend_tile: int = 16
+    decode_attend_tile: int = 64
 
     def __post_init__(self):
         if self.heads % max(self.kv_heads, 1):
