@@ -505,10 +505,19 @@ def sparse_attention_decode(
     # compile, so they fall back to the XLA path instead.
     from .pallas.nsa_decode import _pick_batch_tile
 
+    # VMEM guard for long contexts: the select kernel's ckv block is
+    # [Bt, Wc, 2d] in the cache dtype, and Wc = max_len/stride grows with
+    # context (tile 32 is 4MB at max_len 4096 but 16MB at 16384 — a
+    # Mosaic compile failure, same as the swept-out select tile 64).  Cap
+    # the tile so the block stays <= ~4MB and double-buffering fits.
+    _ckv_row_bytes = (max_len // stride) * 2 * d * ckv_cache.dtype.itemsize
+    _sel_cap = cfg.decode_select_tile
+    while _sel_cap > 8 and _sel_cap * _ckv_row_bytes > (4 << 20):
+        _sel_cap //= 2
     _tiles_ok = all(
         bt % 8 == 0 or bt == b
         for bt in (
-            _pick_batch_tile(b, cfg.decode_select_tile),
+            _pick_batch_tile(b, _sel_cap),
             _pick_batch_tile(b, cfg.decode_attend_tile),
         )
     )
@@ -535,7 +544,7 @@ def sparse_attention_decode(
             max_blocks=max_len // Bs,
             stride=stride, sel_block=Bs, window=window, num_sel=S_k,
             n_slide=n_slide, scale=scale,
-            batch_tile=cfg.decode_select_tile,
+            batch_tile=_sel_cap,
         )
         kvb = kv_cache.reshape(b, kvh, max_len // Bs, Bs, 2 * d)
         fkv = gather_blocks(kvb, idx_all[:, :, None])[:, :, 0]

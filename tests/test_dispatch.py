@@ -58,6 +58,27 @@ class TestDecodeDispatch:
         _, calls = _run_decode(cfg, batch=batch, monkeypatch=monkeypatch)
         assert calls > 0, f"decode kernels did not run for batch={batch}"
 
+    def test_long_context_caps_select_tile(self, monkeypatch):
+        """At large max_len the select kernel's ckv block would exceed
+        VMEM at the configured tile; the dispatch must shrink the tile
+        (not fall back, not crash) and stay on the kernel path."""
+        cfg = tiny_test_config(attn_impl="pallas")
+        counter = _CallCounter(nsa_decode_mod.decode_select)
+        monkeypatch.setattr(nsa_decode_mod, "decode_select", counter)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        ids = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, size=(16, 13)),
+            jnp.int32,
+        )
+        # max_len 4096 / stride 2 -> 2048 ckv rows: tile 32 would be an
+        # 8MB block (f32); the cap drops it to 16
+        _, cache = transformer_prefill(params, cfg, ids, max_len=4096)
+        logits, _ = transformer_decode_step(
+            params, cfg, jnp.zeros((16,), jnp.int32), cache
+        )
+        assert counter.calls > 0, "kernel path must survive long max_len"
+        assert np.all(np.isfinite(np.asarray(logits)))
+
     def test_sublane_illegal_tile_falls_back(self, monkeypatch):
         """b=36 picks tile 4 (< sublane 8, != b) for both kernels — a shape
         Mosaic cannot tile — so the decode MUST take the XLA path."""
