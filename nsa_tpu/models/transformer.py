@@ -263,6 +263,11 @@ def transformer_forward(
         if true_len is None
         else jnp.asarray(true_len, jnp.int32)
     )
+    if seq_len.ndim:
+        # per-row true lengths (batched serving admission): the pooled
+        # engine tracks per-slot lengths itself, so the scalar cache
+        # pointer is only an upper bound
+        seq_len = jnp.max(seq_len)
     cache = ModelCache(layers=tuple(layer_caches), seq_len=seq_len)
     return logits, cache
 

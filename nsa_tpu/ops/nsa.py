@@ -354,11 +354,19 @@ def sparse_attention_forward(
     else:
         kv_unrot = jnp.concatenate([k, v], axis=-1)        # [b, kvh, n, 2d]
         kv_unrot = jnp.pad(kv_unrot, ((0, 0), (0, 0), (Bc, 0), (0, 0)))
-        ring = jax.lax.dynamic_slice(
-            kv_unrot,
-            (0, 0, jnp.asarray(true_len, jnp.int32), 0),
-            (b, kvh, Bc, 2 * d),
-        )
+        tl = jnp.asarray(true_len, jnp.int32)
+        if tl.ndim == 0:
+            ring = jax.lax.dynamic_slice(
+                kv_unrot, (0, 0, tl, 0), (b, kvh, Bc, 2 * d),
+            )
+        else:
+            # per-row true lengths (batched serving admission): slot j of
+            # row i holds position true_len[i] - Bc + j (offset +Bc from
+            # the left-pad above)
+            pos = tl[:, None] + jnp.arange(Bc)[None, :]    # [b, Bc]
+            ring = jnp.take_along_axis(
+                kv_unrot, pos[:, None, :, None], axis=2,
+            )
     spare = max(nsa.num_compress_per_fine, 1)
     cache = NSADecodeCache(
         kv=jnp.concatenate([pad_to(rk, max_len), pad_to(v, max_len)], axis=-1),

@@ -106,6 +106,21 @@ def bucketed_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def wave_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
+                 true_lens):
+    """Prefill a whole admission wave: [max_batch, bucket] right-padded
+    prompts with per-row true lengths.  Returns each row's first greedy
+    token (argmax at its own last real position — read back as one tiny
+    [max_batch] transfer) and the batch cache."""
+    logits, cache = transformer_prefill(
+        params, cfg, padded_ids, max_len, true_len=true_lens,
+    )
+    rows = jnp.arange(padded_ids.shape[0])
+    first = jnp.argmax(logits[rows, true_lens - 1], axis=-1)
+    return first.astype(jnp.int32), cache
+
+
 @dataclass
 class Request:
     rid: int
@@ -179,32 +194,53 @@ class ContinuousBatchingEngine:
     # -- engine steps -----------------------------------------------------
 
     def _admit(self):
-        """Prefill pending requests into free slots.
+        """Prefill ALL pending requests into free slots in one device call.
 
-        The whole prompt is right-padded to the smallest bucket >= its
-        length and prefilled in ONE jitted call (compiled once per bucket
-        shape): admission is O(1) device calls per request instead of the
-        O(prompt) teacher-forced decode steps a partial prefill would need.
+        The wave is right-padded to a fixed [max_batch, bucket] shape (one
+        compiled program per bucket, regardless of how many requests are
+        admitted — rows for occupied/empty slots carry true_len 1 and are
+        masked out of the cache-pool update), so admission is O(1) device
+        calls per WAVE instead of per request, and each prompt is
+        prefilled exactly (whole prompt + per-row true_len marker) rather
+        than teacher-forced token-by-token.
         """
+        if not self.pending:
+            return
+        wave = []                                   # (slot, request)
         for slot in range(self.max_batch):
-            if self.slot_req[slot] is not None or not self.pending:
-                continue
-            req = self.pending.popleft()
+            if self.slot_req[slot] is None and self.pending:
+                wave.append((slot, self.pending.popleft()))
+        if not wave:
+            return
+        bucket = min(
+            max(self._bucket(max(len(r.prompt), 1)) for _, r in wave),
+            self.max_len,
+        )
+        ids = np.zeros((self.max_batch, bucket), np.int32)
+        tls = np.ones(self.max_batch, np.int32)
+        mask = np.zeros(self.max_batch, bool)
+        for slot, req in wave:
+            n = len(req.prompt)
+            ids[slot, :n] = req.prompt
+            tls[slot] = n
+            mask[slot] = True
+        first_toks, cache = wave_prefill(
+            self.params, self.cfg, jnp.asarray(ids), self.max_len,
+            jnp.asarray(tls),
+        )
+        m = jnp.asarray(mask)
+        self.cache_layers = jax.tree_util.tree_map(
+            lambda pool, new: jnp.where(
+                m.reshape((-1,) + (1,) * (pool.ndim - 1)), new, pool
+            ),
+            self.cache_layers, cache.layers,
+        )
+        first_toks = np.asarray(first_toks)         # one [max_batch] d2h
+        for slot, req in wave:
             req.slot = slot
             n = len(req.prompt)
-            m = min(self._bucket(max(n, 1)), self.max_len)
-            padded = np.zeros(m, np.int32)
-            padded[:n] = req.prompt
-            logits, cache = bucketed_prefill(
-                self.params, self.cfg, jnp.asarray(padded)[None],
-                self.max_len, jnp.asarray(n, jnp.int32),
-            )
-            self.cache_layers = jax.tree_util.tree_map(
-                lambda pool, one: pool.at[slot].set(one[0]),
-                self.cache_layers, cache.layers,
-            )
             self.seq_lens[slot] = n
-            first = int(np.argmax(np.asarray(logits)[0, n - 1]))
+            first = int(first_toks[slot])
             self._next_token[slot] = first
             req.generated.append(first)
             self.slot_req[slot] = req
