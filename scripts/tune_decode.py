@@ -11,7 +11,7 @@ one process may hold the TPU.
 import argparse
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -46,17 +46,14 @@ def time_step(params, cfg, batch, prompt, gen, max_len):
         )
         return tok
 
-    jax.block_until_ready(scan(params, first, cache, jnp.int32(0)))
-    ts = []
-    for i in range(3):
-        # perturb inputs: this backend short-circuits repeated identical
-        # execution requests (see eval/efficiency.py); warmup used salt 0,
-        # so i+1 keeps every timed request distinct
-        salt = jnp.int32(i + 1)
-        t0 = time.perf_counter()
-        jax.block_until_ready(scan(params, first, cache, salt))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / gen * 1000
+    # _time_fn perturbs the salt every call AND materializes the result:
+    # on this backend block_until_ready alone returns at dispatch time and
+    # identical requests are short-circuited (eval/efficiency.py:41-46)
+    from nsa_tpu.eval.efficiency import _time_fn
+
+    dt = _time_fn(scan, params, first, cache, jnp.int32(0),
+                  warmup=1, iters=3, vary=3)
+    return dt / gen * 1000
 
 
 def main():
