@@ -42,7 +42,7 @@ from .models.transformer import (
 from .ops.common import round_up_mult
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def ragged_decode_step(params, cfg: ModelConfig, tokens, cache_layers,
                        seq_lens):
     """Advance every slot one token at its own position.
@@ -65,7 +65,7 @@ def ragged_decode_step(params, cfg: ModelConfig, tokens, cache_layers,
     return jax.vmap(one, in_axes=(0, 0, 0))(tokens, cache_layers, seq_lens)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_steps"))
+@partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(3,))
 def ragged_decode_multi(params, cfg: ModelConfig, tokens, cache_layers,
                         seq_lens, num_steps: int):
     """Advance every slot ``num_steps`` greedy tokens WITHOUT host syncs.
