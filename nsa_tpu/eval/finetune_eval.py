@@ -29,6 +29,25 @@ def extract_answer(text: str) -> Optional[str]:
     return m.group(1).strip().lower()
 
 
+def answer_matches(pred: Optional[str], gold: str) -> bool:
+    """Exact-match scoring on the FIRST generated token.
+
+    The round-2 ``pred.startswith(gold)`` rule credited degenerate
+    repetitions ('bbbbbbbb' matched gold 'b'); the reference compares
+    extracted choice letters exactly
+    (evaluate_sparse_attention_finetune.py:25-67).  The first
+    whitespace-delimited token, stripped of trailing punctuation, must
+    equal the gold answer exactly."""
+    if pred is None:
+        return False
+    gold = gold.strip().lower()
+    parts = pred.split()
+    if not parts:
+        return False
+    tok = parts[0].strip(".,;:!?)('\"")
+    return tok == gold
+
+
 def greedy_generate_reforward(
     forward_fn, prompt_ids: np.ndarray, gen_len: int
 ) -> np.ndarray:
@@ -104,14 +123,14 @@ def evaluate_qa_accuracy(
         gen = gen_with(student_fn, prompt)
         text = f"{q}\nAnswer: " + bytes(gen.astype(np.uint8)).decode(errors="ignore")
         pred = extract_answer(text)
-        hit = pred is not None and pred.startswith(a.strip().lower())
+        hit = answer_matches(pred, a)
         correct += int(hit)
         row = {"question": q, "gold": a, "pred": pred, "correct": hit}
         if compare_base is not None:
             bgen = gen_with(compare_base, prompt)
             btext = f"{q}\nAnswer: " + bytes(bgen.astype(np.uint8)).decode(errors="ignore")
             bpred = extract_answer(btext)
-            bhit = bpred is not None and bpred.startswith(a.strip().lower())
+            bhit = answer_matches(bpred, a)
             base_correct += int(bhit)
             row.update({"base_pred": bpred, "base_correct": bhit})
         results.append(row)

@@ -161,6 +161,8 @@ def _full_attn_decode(params, cfg: ModelConfig, x, cache: KVDecodeCache, seq_len
     b = x.shape[0]
     d, kvh, g = cfg.dim_head, cfg.kv_heads, cfg.num_grouped_queries
     max_len = cache.kv.shape[2]
+    seq_len = jnp.asarray(seq_len, jnp.int32)
+    ragged = seq_len.ndim == 1                    # per-row positions [b]
     normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     # fused q/k/v projection (one matmul; weight concat is loop-invariant)
     w_fused = jnp.concatenate(
@@ -170,25 +172,41 @@ def _full_attn_decode(params, cfg: ModelConfig, x, cache: KVDecodeCache, seq_len
     q = proj[:, : cfg.dim_inner].reshape(b, cfg.heads, d)
     k = proj[:, cfg.dim_inner: cfg.dim_inner + cfg.dim_kv_inner].reshape(b, kvh, d)
     v = proj[:, cfg.dim_inner + cfg.dim_kv_inner:].reshape(b, kvh, d)
-    rq = rotate_at_offset(q[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
-    rk = rotate_at_offset(k[:, :, None], seq_len, cfg.rope_theta)[:, :, 0]
-    kv_cache = jax.lax.dynamic_update_slice(
-        cache.kv,
-        jnp.concatenate([rk, v], axis=-1)[:, :, None],
-        (0, 0, seq_len, 0),
-    )
+    qk = jnp.concatenate([q, k], axis=1)[:, :, None]
+    if ragged:
+        from ..ops.rotary import rotate_at_row_offsets
+
+        rot = rotate_at_row_offsets(qk, seq_len, cfg.rope_theta)[:, :, 0]
+    else:
+        rot = rotate_at_offset(qk, seq_len, cfg.rope_theta)[:, :, 0]
+    rq, rk = rot[:, : cfg.heads], rot[:, cfg.heads:]
+    kv_row = jnp.concatenate([rk, v], axis=-1)
+    if ragged:
+        kv_cache = cache.kv.at[
+            jnp.arange(b)[:, None], jnp.arange(kvh)[None, :],
+            seq_len[:, None]
+        ].set(kv_row)
+    else:
+        kv_cache = jax.lax.dynamic_update_slice(
+            cache.kv, kv_row[:, :, None], (0, 0, seq_len, 0)
+        )
     sim = jnp.einsum(
         "bhgd,bhjd->bhgj", rq.reshape(b, kvh, g, d), kv_cache[..., :d],
         preferred_element_type=jnp.float32,
     ) * (d ** -0.5)
-    valid = jnp.arange(max_len) <= seq_len
-    sim = jnp.where(valid[None, None, None], sim, mask_value(jnp.float32))
+    if ragged:
+        valid = (jnp.arange(max_len) <= seq_len[:, None])[:, None, None, :]
+    else:
+        valid = (jnp.arange(max_len) <= seq_len)[None, None, None]
+    sim = jnp.where(valid, sim, mask_value(jnp.float32))
     attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
     out = jnp.einsum(
         "bhgj,bhjd->bhgd", attn, kv_cache[..., d:]
     ).reshape(b, cfg.heads, d)
     out = merge_heads(out[:, :, None]) @ params["w_out"].astype(x.dtype)
-    return out, KVDecodeCache(kv=kv_cache)
+    # both decode fns return the UPDATED residual stream (x + attn_out) so
+    # the fused sparse kernel path can fold projection + residual in-kernel
+    return x + out, KVDecodeCache(kv=kv_cache)
 
 
 # -- model-level entry points ---------------------------------------------
@@ -318,16 +336,46 @@ def transformer_decode_step(
     t = cache.seq_len
     new_layers = []
     for layer, lc in zip(params["layers"], cache.layers):
+        # decode fns return the post-residual stream x + attn_out directly
         if cfg.use_sparse_attn:
-            attn_out, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
+            x, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
         else:
-            attn_out, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
+            x, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
         new_layers.append(new_lc)
-        x = x + attn_out
         x = x + _ff_apply(layer["ff"], cfg, x)
     x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     logits = (x[:, 0] @ params["to_logits"].astype(dtype)).astype(jnp.float32)
     return logits, ModelCache(layers=tuple(new_layers), seq_len=t + 1)
+
+
+def transformer_decode_step_ragged(
+    params, cfg: ModelConfig, tokens: jnp.ndarray, layer_caches,
+    seq_lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Tuple[LayerCache, ...]]:
+    """One RAGGED token step over a slot pool: every row decodes at its own
+    cache position.  tokens [b] int32, seq_lens [b] int32; layer_caches is
+    a tuple of per-layer caches with leading [b] on every leaf.
+
+    This is the continuous-batching engine's hot step (serve.py): unlike a
+    vmap of ``transformer_decode_step`` (whose batched scalar-prefetch
+    args force pallas_call into an explicit per-slot loop — one kernel
+    launch per SLOT per layer), all per-position math here is batched
+    natively, so the device-op count is independent of the pool size.
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    x = params["token_emb"][tokens][:, None].astype(dtype)   # [b, 1, dim]
+    t = jnp.asarray(seq_lens, jnp.int32)
+    new_layers = []
+    for layer, lc in zip(params["layers"], layer_caches):
+        if cfg.use_sparse_attn:
+            x, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
+        else:
+            x, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
+        new_layers.append(new_lc)
+        x = x + _ff_apply(layer["ff"], cfg, x)
+    x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["to_logits"].astype(dtype)).astype(jnp.float32)
+    return logits, tuple(new_layers)
 
 
 def _sample_from_logits(logits, rng, temperature: float, filter_thres: float):

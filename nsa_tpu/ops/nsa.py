@@ -60,7 +60,12 @@ from .common import (
     split_heads,
 )
 from .compress import apply_compressor, init_compressor, split_compress_windows
-from .rotary import apply_rotary, rotate_at_offset, rotate_qk
+from .rotary import (
+    apply_rotary,
+    rotate_at_offset,
+    rotate_at_row_offsets,
+    rotate_qk,
+)
 from .selection import fine_block_scores, group_importance, select_blocks
 
 
@@ -396,6 +401,52 @@ def init_decode_cache(
     )
 
 
+def _select_tile(cfg: ModelConfig, max_len: int, stride: int, d: int,
+                 dtype) -> int:
+    """VMEM-guarded batch tile for the select kernels.
+
+    The select kernel's ckv block is [Bt, Wc, 2d] in the cache dtype and
+    Wc = max_len/stride grows with context (tile 32 is 4MB at max_len 4096
+    but 16MB at 16384 — a Mosaic compile failure).  Cap the tile so the
+    block stays <= ~4MB and double-buffering fits."""
+    import numpy as _np
+
+    row_bytes = (max_len // stride) * 2 * d * _np.dtype(dtype).itemsize
+    cap = cfg.decode_select_tile
+    while cap > 8 and cap * row_bytes > (4 << 20):
+        cap //= 2
+    return cap
+
+
+def _use_fused_decode(cfg: ModelConfig, b: int, dtype, max_len: int) -> bool:
+    """Whether the fully-fused 2-kernel decode path applies.
+
+    Requires the Pallas impl, shared-KV selection with a masked diagonal,
+    the GroupedMLP compressor (the only one implemented in-kernel), and
+    Mosaic-legal batch tiles.  ``NSA_NO_FUSED_DECODE=1`` falls back to the
+    round-2 path (kept for A/B benchmarking)."""
+    nsa = cfg.nsa
+    if os.environ.get("NSA_NO_FUSED_DECODE"):
+        return False
+    if not (
+        cfg.attn_impl == "pallas"
+        and nsa.query_heads_share_selected_kv
+        and nsa.num_compress_per_fine > 1
+        and nsa.num_selected_blocks > 0
+        and nsa.compressor == "mlp"
+    ):
+        return False
+    from .pallas.nsa_decode import _pick_batch_tile
+
+    stride = nsa.compress_block_sliding_stride
+    tiles = (
+        _pick_batch_tile(b, _select_tile(cfg, max_len, stride, cfg.dim_head,
+                                         dtype)),
+        _pick_batch_tile(b, min(cfg.decode_attend_tile, 16)),
+    )
+    return all(bt % 8 == 0 or bt == b for bt in tiles)
+
+
 def sparse_attention_decode(
     params,
     cfg: ModelConfig,
@@ -404,6 +455,10 @@ def sparse_attention_decode(
     seq_len: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, NSADecodeCache]:
     """One decode step. x: [b, 1, dim]; seq_len: scalar tokens already cached.
+
+    Returns ``(x + attn_out, new_cache)`` — the UPDATED residual stream,
+    not the bare attention output, so the fully-fused kernel path can fold
+    the output projection and residual add into its last grid pass.
 
     Static-shape equivalent of the reference ``forward_inference``
     (reference: native_sparse_attention.py:338-547), minus its divergences
@@ -424,7 +479,12 @@ def sparse_attention_decode(
     max_cb = cache.ckv.shape[2]
     max_fine = max_cb // nsa.num_compress_per_fine if nsa.num_compress_per_fine else 0
 
-    t = seq_len                                   # current query position
+    t = jnp.asarray(seq_len, jnp.int32)           # current query position(s)
+    # ragged mode: seq_len is [b] — every row decodes at its own cache
+    # position (continuous-batching slot pool, serve.py).  All per-position
+    # math below broadcasts over the row dim; cache writes become row
+    # scatters; the (scalar-t) kernel paths are bypassed.
+    ragged = t.ndim == 1
     num_cb = t // stride                          # compressed blocks cached
     run_fill = overlap + t - num_cb * stride      # live entries in run buffer
 
@@ -452,22 +512,90 @@ def sparse_attention_decode(
     k_new = qkv[:, cfg.dim_inner: cfg.dim_inner + cfg.dim_kv_inner].reshape(b, kvh, d)
     v_new = qkv[:, cfg.dim_inner + cfg.dim_kv_inner:].reshape(b, kvh, d)
 
-    # ---- shift the unrotated ring buffer ---------------------------------
     kv_new = jnp.concatenate([k_new, v_new], axis=-1)          # [b, kvh, 2d]
+
+    # ---- rotate (q and k in one call) ------------------------------------
+    qk = jnp.concatenate([q, k_new], axis=1)[:, :, None]
+    if ragged:
+        rot = rotate_at_row_offsets(qk, t, cfg.rope_theta)[:, :, 0]
+    else:
+        rot = rotate_at_offset(qk, t, cfg.rope_theta)[:, :, 0]
+    rq, rk_new = rot[:, :h], rot[:, h:]
+
+    gates = jax.nn.sigmoid(
+        gate_logits + params["gate_b"].astype(gate_logits.dtype)
+    ).reshape(b, h, 3)
+
+    # ---- fully-fused kernel path (2 Pallas launches, caches updated
+    # in place): ring shift + conditional emission + ckv write live in
+    # decode_select_emit; gather + kv write + attention + output projection
+    # + residual live in decode_attend_fused -------------------------------
+    if (not ragged) and _use_fused_decode(
+        cfg, b, cache.ckv.dtype, max_len
+    ) and not (skip_fine or skip_compressed or skip_emit):
+        from .pallas.nsa_decode_fused import (
+            decode_attend_fused,
+            decode_select_emit,
+        )
+
+        nsa_ = cfg.nsa
+        S_k = nsa_.num_selected_blocks
+        n_slide = -(-window // Bs) + 1
+        cdt = cache.ckv.dtype
+        kc, vc = params["k_compress"], params["v_compress"]
+        pos_kv = jnp.concatenate(
+            [params["k_pos"], params["v_pos"]], axis=-1
+        ).astype(cdt)                                       # [kvh, Bc, 2d]
+        w2 = jnp.concatenate([kc["w2"], vc["w2"]], axis=-1).astype(cdt)
+        b2 = jnp.concatenate([kc["b2"], vc["b2"]], axis=-1)
+        num_cb_s = jnp.asarray(num_cb, jnp.int32)
+        c_out4, info, ckv_cache, ring_new = decode_select_emit(
+            q.reshape(b, kvh, g, d),
+            cache.ckv, cache.ring,
+            kv_new[:, :, None].astype(cache.ring.dtype),
+            params["mem_kv"].astype(x.dtype),
+            pos_kv,
+            kc["w1"].astype(cdt), kc["b1"],
+            vc["w1"].astype(cdt), vc["b1"],
+            w2, b2,
+            t, num_cb_s,
+            max_blocks=max_len // Bs,
+            stride=stride, sel_block=Bs, num_sel=S_k, n_slide=n_slide,
+            scale=scale,
+            batch_tile=_select_tile(cfg, max_len, stride, d, cache.ckv.dtype),
+        )
+        out_x, kv_cache = decode_attend_fused(
+            rq.reshape(b, kvh, g, d),
+            cache.kv,
+            jnp.concatenate([rk_new, v_new], axis=-1)[:, :, None].astype(
+                cache.kv.dtype
+            ),
+            info, c_out4,
+            gates.reshape(b, kvh, g, 3),
+            x, params["w_out"], t,
+            sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
+            scale=scale,
+            batch_tile=min(cfg.decode_attend_tile, 16),
+        )
+        new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring_new)
+        return out_x, new_cache
+
+    # ---- shift the unrotated ring buffer ---------------------------------
     ring = jnp.concatenate(
         [cache.ring[:, :, 1:], kv_new[:, :, None]], axis=2
     )
 
-    # ---- rotate (q and k in one call) and append to the main cache -------
-    rot = rotate_at_offset(
-        jnp.concatenate([q, k_new], axis=1)[:, :, None], t, cfg.rope_theta
-    )[:, :, 0]
-    rq, rk_new = rot[:, :h], rot[:, h:]
-    kv_cache = jax.lax.dynamic_update_slice(
-        cache.kv,
-        jnp.concatenate([rk_new, v_new], axis=-1)[:, :, None],
-        (0, 0, t, 0),
-    )
+    # ---- append to the main cache ----------------------------------------
+    kv_row = jnp.concatenate([rk_new, v_new], axis=-1)         # [b, kvh, 2d]
+    if ragged:
+        # per-row positions: one batched scatter over the slot pool
+        kv_cache = cache.kv.at[
+            jnp.arange(b)[:, None], jnp.arange(kvh)[None, :], t[:, None]
+        ].set(kv_row)
+    else:
+        kv_cache = jax.lax.dynamic_update_slice(
+            cache.kv, kv_row[:, :, None], (0, 0, t, 0)
+        )
 
     # ---- predicated compressed-block emission ----------------------------
     # When the (virtual) run buffer fills — i.e. t+1 is a stride multiple —
@@ -480,11 +608,14 @@ def sparse_attention_decode(
     if skip_emit:
         ckv_cache = cache.ckv
     else:
-        emit = (run_fill + 1 == Bc)
+        emit = (run_fill + 1 == Bc)                # scalar | [b]
         # the ring now holds exactly the window [t+1-Bc, t+1); rows before
         # the sequence start are zero-masked
-        row_pos = (t + 1 - Bc) + jnp.arange(Bc)
-        valid = (row_pos >= 0)[None, None, :, None]
+        row_pos = (t + 1 - Bc)[..., None] + jnp.arange(Bc)  # [Bc] | [b, Bc]
+        if ragged:
+            valid = row_pos[:, None, :, None] >= 0          # [b, 1, Bc, 1]
+        else:
+            valid = (row_pos >= 0)[None, None, :, None]
         win = jnp.where(valid, ring, 0.0)
         new_ck, new_cv = _compress_kv(
             params, cfg, win[:, :, None, :, :d], win[:, :, None, :, d:]
@@ -495,9 +626,15 @@ def sparse_attention_decode(
         # requiring an old-value read + select
         trash = cache.ckv.shape[2] - 1
         slot = jnp.where(emit, jnp.clip(num_cb, 0, trash), trash)
-        ckv_cache = jax.lax.dynamic_update_slice(
-            cache.ckv, cand, (0, 0, slot, 0)
-        )
+        if ragged:
+            ckv_cache = cache.ckv.at[
+                jnp.arange(b)[:, None], jnp.arange(kvh)[None, :],
+                slot[:, None]
+            ].set(cand[:, :, 0])
+        else:
+            ckv_cache = jax.lax.dynamic_update_slice(
+                cache.ckv, cand, (0, 0, slot, 0)
+            )
 
     # ---- branches 1 + 2 + 3 ----------------------------------------------
     qg = q.reshape(b, kvh, g, d)
@@ -513,15 +650,7 @@ def sparse_attention_decode(
     # compile, so they fall back to the XLA path instead.
     from .pallas.nsa_decode import _pick_batch_tile
 
-    # VMEM guard for long contexts: the select kernel's ckv block is
-    # [Bt, Wc, 2d] in the cache dtype, and Wc = max_len/stride grows with
-    # context (tile 32 is 4MB at max_len 4096 but 16MB at 16384 — a
-    # Mosaic compile failure, same as the swept-out select tile 64).  Cap
-    # the tile so the block stays <= ~4MB and double-buffering fits.
-    _ckv_row_bytes = (max_len // stride) * 2 * d * ckv_cache.dtype.itemsize
-    _sel_cap = cfg.decode_select_tile
-    while _sel_cap > 8 and _sel_cap * _ckv_row_bytes > (4 << 20):
-        _sel_cap //= 2
+    _sel_cap = _select_tile(cfg, max_len, stride, d, ckv_cache.dtype)
     _tiles_ok = all(
         bt % 8 == 0 or bt == b
         for bt in (
@@ -531,16 +660,13 @@ def sparse_attention_decode(
     )
     use_decode_kernels = (
         cfg.attn_impl == "pallas"
+        and not ragged
         and nsa.query_heads_share_selected_kv
         and nsa.num_compress_per_fine > 1
         and _tiles_ok
     )
     if skip_compressed or skip_fine:
         use_decode_kernels = False
-
-    gates = jax.nn.sigmoid(
-        gate_logits + params["gate_b"].astype(gate_logits.dtype)
-    ).reshape(b, h, 3)
 
     if use_decode_kernels:
         from .pallas.nsa_decode import decode_attend, decode_select
@@ -588,7 +714,7 @@ def sparse_attention_decode(
     out = out.reshape(b, 1, h * d) @ params["w_out"].astype(x.dtype)
 
     new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring)
-    return out, new_cache
+    return x + out, new_cache
 
 
 def _decode_compressed(params, qg, ckv_cache, num_cb, num_mem, scale, b, kvh,
@@ -602,10 +728,12 @@ def _decode_compressed(params, qg, ckv_cache, num_cb, num_mem, scale, b, kvh,
         "bhgd,bhjd->bhgj", qg, ckv_cache[..., :d],
         preferred_element_type=jnp.float32,
     ) * scale
-    cb_valid = jnp.arange(max_cb) < num_cb
-    csim_blocks = jnp.where(
-        cb_valid[None, None, None], csim_blocks, mask_value(jnp.float32)
-    )
+    ncb = jnp.asarray(num_cb)
+    if ncb.ndim == 1:                                # ragged: per-row count
+        cb_valid = (jnp.arange(max_cb) < ncb[:, None])[:, None, None, :]
+    else:
+        cb_valid = (jnp.arange(max_cb) < ncb)[None, None, None]
+    csim_blocks = jnp.where(cb_valid, csim_blocks, mask_value(jnp.float32))
     csim = jnp.concatenate([csim_mem, csim_blocks], axis=-1)   # [b,kvh,g,mem+maxcb]
     cattn = jax.nn.softmax(csim, axis=-1).astype(qg.dtype)
     cv_all = jnp.concatenate(
@@ -632,24 +760,27 @@ def _decode_fine_sliding(cfg, csim, rq, kv_cache, t, b, h, kvh, g, d,
     Bs = nsa.selection_block_size
     stride = nsa.compress_block_sliding_stride
     window = nsa.sliding_window_size
+    ragged = t.ndim == 1                           # per-row positions
 
     importance = group_importance(
         csim.reshape(b, h, 1, -1), num_mem, g, nsa.query_heads_share_selected_kv
     )
-    norm_scores = fine_block_scores(importance, t[None], Bs, stride)
+    q_pos = t[:, None] if ragged else t[None]      # [b, 1] | [1]
+    norm_scores = fine_block_scores(importance, q_pos, Bs, stride)
     sel = select_blocks(norm_scores, nsa.num_selected_blocks, use_diff_topk=False)
     S = sel.indices.shape[-1]
     Hs = sel.indices.shape[1]
 
     n_slide = -(-window // Bs) + 1
     last_blk = t // Bs
-    trail = last_blk - jnp.arange(n_slide - 1, -1, -1)          # ascending
-    trail_clip = jnp.clip(trail, 0, max_len // Bs - 1)
+    trail = last_blk[..., None] - jnp.arange(n_slide - 1, -1, -1)  # ascending
+    trail_clip = jnp.clip(trail, 0, max_len // Bs - 1)  # [ns] | [b, ns]
+    trail_b = trail_clip[:, None] if ragged else trail_clip[None, None]
 
     idx_all = jnp.concatenate(
         [
             sel.indices[:, :, 0],                               # [b, Hs, S]
-            jnp.broadcast_to(trail_clip[None, None], (b, Hs, n_slide)),
+            jnp.broadcast_to(trail_b, (b, Hs, n_slide)),
         ],
         axis=-1,
     )                                                           # [b,Hs,S+ns]
@@ -669,25 +800,32 @@ def _decode_fine_sliding(cfg, csim, rq, kv_cache, t, b, h, kvh, g, d,
         fkv = fkv.reshape(b, Hs, n_slots * Bs, 2 * d)
 
     col = jnp.arange(Bs)
-    # global positions of the trailing columns (from UNCLIPPED block ids)
-    j_trail = trail[:, None] * Bs + col[None, :]                # [ns, Bs]
-    trail_ok = (trail >= 0)[:, None]
+    # global positions of the trailing columns (from UNCLIPPED block ids):
+    # [ns, Bs] shared, or [b, ns, Bs] ragged
+    j_trail = trail[..., :, None] * Bs + col
+    trail_ok = trail[..., :, None] >= 0
+    t_b = t[:, None, None] if ragged else t
+
+    def to_bhsb(m):
+        """broadcast a [ns, Bs] / [b, ns, Bs] trailing mask to [b,Hs,ns,Bs]."""
+        m = m[:, None] if ragged else m[None, None]
+        return jnp.broadcast_to(m, (b, Hs, n_slide, Bs))
 
     # fine mask: selected slots (score-gated), plus causal cols of the
     # diagonal (= last trailing) slot
     fine_sel = jnp.broadcast_to(sel.mask[:, :, 0, :, None], (b, Hs, S, Bs))
-    fine_trail = jnp.zeros((n_slide, Bs), bool).at[-1].set(True)
-    fine_trail = fine_trail[None, None] & (j_trail <= t)[None, None] & trail_ok[None, None]
+    diag_only = jnp.zeros((n_slide, Bs), bool).at[-1].set(True)
+    fine_trail = diag_only & (j_trail <= t_b) & trail_ok
     fine_mask = jnp.concatenate(
-        [fine_sel, jnp.broadcast_to(fine_trail, (b, Hs, n_slide, Bs))], axis=2
+        [fine_sel, to_bhsb(fine_trail)], axis=2
     ).reshape(b, Hs, 1, n_slots * Bs)
 
     # sliding mask: the exact band over the trailing slots
-    slide_trail = (j_trail >= t - window) & (j_trail <= t) & trail_ok
+    slide_trail = (j_trail >= t_b - window) & (j_trail <= t_b) & trail_ok
     slide_mask = jnp.concatenate(
         [
             jnp.zeros((b, Hs, S, Bs), bool),
-            jnp.broadcast_to(slide_trail[None, None], (b, Hs, n_slide, Bs)),
+            to_bhsb(slide_trail),
         ],
         axis=2,
     ).reshape(b, Hs, 1, n_slots * Bs)

@@ -1,0 +1,604 @@
+"""Fully-fused decode-step kernels: 2 Pallas launches per NSA layer.
+
+Round-3 redesign of the decode hot path (see RESULTS.md round-2 xprof):
+on this backend decode latency = device-op count x fixed launch cost, and
+the round-2 path still paid ~7 launches + an unconditional compressor
+weight read (~17 MB/layer, read EVERY step for a 1-in-stride emission)
+per layer.  These kernels collapse the whole per-layer attention step to:
+
+* ``decode_select_emit`` — everything the round-2 ``decode_select`` did
+  (compressed attention, grouped importance, regroup, diagonal mask,
+  pad-softmax-strip, iterative top-k) PLUS:
+    - the unrotated ring-buffer shift (ring is aliased in/out);
+    - the compressed-block emission, computed ONLY on emission steps
+      under ``pl.when``: the GroupedMLP weights stay in HBM and are
+      manually DMA'd into VMEM scratch once per (emission step, head), so
+      the per-step amortized weight traffic drops by ``stride``x;
+    - the emitted row is DMA'd straight into the (aliased, donated) ckv
+      cache — no XLA dynamic_update_slice, no trash-row trick.
+* ``decode_attend_fused`` — everything the round-2 ``decode_attend`` did
+  (fine + sliding attention over the selected-union-trailing blocks, gate
+  combine) PLUS:
+    - the block gather, as per-block async DMA from the HBM kv cache
+      (indices arrive via scalar prefetch from ``decode_select_emit``'s
+      packed info output) — replaces the separate XLA gather;
+    - the new token's packed kv row is DMA'd into the (aliased, donated)
+      kv cache inside the kernel — no XLA dynamic_update_slice — and the
+      block-diagonal read waits on that write so the current token
+      attends to itself exactly as before;
+    - the output projection, accumulated across the KV-head grid
+      dimension (w_out is blocked per head), with the residual stream
+      added in — the kernel returns ``x + attn_out`` directly.
+
+Semantics are pinned to the XLA path by tests/test_decode_equivalence.py
+and tests/test_impl_equivalence.py; reference semantics:
+native_sparse_attention.py:338-547 (forward_inference) with the prefill
+masking rule (see ops/nsa.py module docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nsa_decode import INFO_WIDTH, NEG, SCORE_EPS, _pick_batch_tile
+from .runtime import resolve_interpret
+
+
+def _select_math(scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
+                 info_ref, *, scale, stride, sel_block, num_sel, n_slide,
+                 max_blocks):
+    """Compressed attention + selection pipeline (shared with round-2
+    kernel; see nsa_decode._select_kernel for the original)."""
+    t = scal_ref[0]
+    num_cb = scal_ref[1]
+    Bt, _, g, d = q_ref.shape
+    Wc = ckv_ref.shape[2]
+    npf = sel_block // stride
+
+    q = q_ref[:, 0].astype(jnp.float32)                    # [Bt, g, d]
+    ck = ckv_ref[:, 0, :, :d].astype(jnp.float32)          # [Bt, Wc, d]
+    cv = ckv_ref[:, 0, :, d:].astype(jnp.float32)
+
+    sim_c = jax.lax.dot_general(
+        q, ck, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bt, g, Wc]
+    cb_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, Wc), 2)
+    sim_c = jnp.where(cb_ids < num_cb, sim_c, NEG)
+
+    memk = memk_ref[0].astype(jnp.float32)                 # [M, d]
+    sim_m = jax.lax.dot_general(
+        q, memk, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bt, g, M]
+
+    m = jnp.maximum(
+        jnp.max(sim_c, axis=-1, keepdims=True),
+        jnp.max(sim_m, axis=-1, keepdims=True),
+    )
+    pc = jnp.exp(sim_c - m)
+    pm = jnp.exp(sim_m - m)
+    denom = jnp.sum(pc, -1, keepdims=True) + jnp.sum(pm, -1, keepdims=True)
+    attn_c = pc / denom
+    attn_m = pm / denom
+    c_out = jax.lax.dot_general(
+        attn_c, cv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        attn_m, memv_ref[0].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cout_ref[:, 0] = c_out.astype(cout_ref.dtype)
+
+    imp = jnp.mean(sim_c, axis=1)                          # [Bt, Wc]
+    Wf = Wc // npf
+    if npf > 1:
+        src_ids = jax.lax.broadcasted_iota(jnp.int32, (Wc, Wf), 0)
+        dst_ids = jax.lax.broadcasted_iota(jnp.int32, (Wc, Wf), 1)
+        pool = jnp.where(src_ids // npf == dst_ids, 1.0 / npf, 0.0)
+        imp = jax.lax.dot_general(
+            imp, pool, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [Bt, Wf]
+        diag = t // sel_block
+        f_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, Wf), 1)
+        imp = jnp.where(f_ids == diag, NEG, imp)
+    mx = jnp.maximum(jnp.max(imp, axis=-1, keepdims=True), -1e3)
+    p = jnp.exp(imp - mx)
+    denom_f = jnp.sum(p, -1, keepdims=True) + jnp.exp(-1e3 - mx)
+    scores = p / denom_f                                   # [Bt, Wf]
+
+    f_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, Wf), 1)
+    cur = scores
+    for s in range(num_sel):
+        v = jnp.max(cur, axis=-1, keepdims=True)
+        amax = jnp.argmax(cur, axis=-1, keepdims=True)
+        info_ref[:, s:s + 1] = amax.astype(jnp.int32)
+        info_ref[:, num_sel + n_slide + s:num_sel + n_slide + s + 1] = (
+            v > SCORE_EPS
+        ).astype(jnp.int32)
+        cur = jnp.where(f_ids == amax, NEG, cur)
+
+    last_blk = t // sel_block
+    for j in range(n_slide):
+        blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
+        info_ref[:, num_sel + j:num_sel + j + 1] = jnp.full(
+            (Bt, 1), blk, jnp.int32
+        )
+
+
+def _select_emit_kernel(
+    scal_ref,       # SMEM [4]: t, num_cb, emit, slot
+    q_ref,          # [Bt, 1, g, d] unrotated queries
+    ckv_ref,        # [Bt, 1, Wc, 2d] VMEM (pre-update view of the cache)
+    ring_ref,       # [Bt, 1, Bc, 2d] VMEM, aliased -> ring_out
+    kvnew_ref,      # [Bt, 1, 1, 2d] unrotated k||v of the new token
+    memk_ref,       # [1, M, d]
+    memv_ref,       # [1, M, d]
+    pos_ref,        # [1, Bc, 2d] packed k_pos||v_pos for this head
+    b1k_ref,        # [1, 1, hid]
+    b1v_ref,        # [1, 1, hid]
+    b2_ref,         # [1, 1, 2d] packed b2_k||b2_v
+    w1k_hbm,        # [kvh, Bc*d, hid] ANY (manual DMA on emit steps)
+    w1v_hbm,        # [kvh, Bc*d, hid] ANY
+    w2_hbm,         # [kvh, hid, 2d] ANY, packed w2_k||w2_v
+    cout_ref,       # out: [Bt, 1, g, d]
+    info_ref,       # out: [Bt, INFO_WIDTH]
+    ckv_out,        # out: ANY, aliased to the ckv cache buffer
+    ring_out,       # out: [Bt, 1, Bc, 2d], aliased to ring
+    w1k_s,          # scratch VMEM [Bc*d, hid]
+    w1v_s,          # scratch VMEM [Bc*d, hid]
+    w2_s,           # scratch VMEM [hid, 2d]
+    cand_s,         # scratch VMEM [Bt, 1, 2d]
+    sems,           # DMA semaphores (4,)
+    *, scale, stride, sel_block, num_sel, n_slide, max_blocks, blk_size,
+):
+    t = scal_ref[0]
+    emit = scal_ref[2]
+    slot = scal_ref[3]
+    hi = pl.program_id(0)
+    bi = pl.program_id(1)
+    Bt = q_ref.shape[0]
+    Bc = ring_ref.shape[2]
+    d = q_ref.shape[3]
+    hid = w1k_s.shape[1]
+
+    # ---- ring shift (every step): slot j <- j+1, last <- new token -------
+    ring = ring_ref[:, 0]                                  # [Bt, Bc, 2d]
+    new_row = kvnew_ref[:, 0]                              # [Bt, 1, 2d]
+    shifted = jnp.concatenate([ring[:, 1:], new_row], axis=1)
+    ring_out[:, 0] = shifted
+
+    # ---- predicated compressed-block emission ----------------------------
+    # Weights stream from HBM only when a block is actually emitted (1 in
+    # ``stride`` steps), and only on the first batch tile of each head
+    # (scratch persists across the inner batch-grid steps).
+    @pl.when(jnp.logical_and(emit == 1, bi == 0))
+    def _load_weights():
+        cp1 = pltpu.make_async_copy(w1k_hbm.at[hi], w1k_s, sems.at[0])
+        cp2 = pltpu.make_async_copy(w1v_hbm.at[hi], w1v_s, sems.at[1])
+        cp3 = pltpu.make_async_copy(w2_hbm.at[hi], w2_s, sems.at[2])
+        cp1.start()
+        cp2.start()
+        cp3.start()
+        cp1.wait()
+        cp2.wait()
+        cp3.wait()
+
+    @pl.when(emit == 1)
+    def _emit():
+        # emission window = the shifted ring = positions [t+1-Bc, t+1);
+        # rows before the sequence start are zeroed, intra-block position
+        # embeddings are added to every row (matching ops/nsa._compress_kv)
+        row_pos = (t + 1 - Bc) + jax.lax.broadcasted_iota(
+            jnp.int32, (Bt, Bc, 2 * d), 1
+        )
+        win = jnp.where(row_pos >= 0, shifted, 0.0)
+        win = win + pos_ref[0][None].astype(win.dtype)     # [Bt, Bc, 2d]
+
+        hk = jnp.zeros((Bt, hid), jnp.float32)
+        hv = jnp.zeros((Bt, hid), jnp.float32)
+        for j in range(Bc):
+            hk = hk + jax.lax.dot_general(
+                win[:, j, :d], w1k_s[j * d:(j + 1) * d, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hv = hv + jax.lax.dot_general(
+                win[:, j, d:], w1v_s[j * d:(j + 1) * d, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        hk = jax.nn.relu(hk + b1k_ref[0, 0].astype(jnp.float32))
+        hv = jax.nn.relu(hv + b1v_ref[0, 0].astype(jnp.float32))
+        hk = hk.astype(cand_s.dtype)
+        hv = hv.astype(cand_s.dtype)
+        ck = jax.lax.dot_general(
+            hk, w2_s[:, :d], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0, 0, :d].astype(jnp.float32)
+        cv = jax.lax.dot_general(
+            hv, w2_s[:, d:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0, 0, d:].astype(jnp.float32)
+        cand_s[:, 0, :d] = ck.astype(cand_s.dtype)
+        cand_s[:, 0, d:] = cv.astype(cand_s.dtype)
+        wr = pltpu.make_async_copy(
+            cand_s,
+            ckv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(slot, 1), :],
+            sems.at[3],
+        )
+        wr.start()
+        wr.wait()
+
+    # ---- compressed attention + selection (reads the pre-update ckv) -----
+    _select_math(
+        scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref, info_ref,
+        scale=scale, stride=stride, sel_block=sel_block, num_sel=num_sel,
+        n_slide=n_slide, max_blocks=max_blocks,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "stride", "sel_block", "num_sel",
+                     "n_slide", "scale", "batch_tile", "interpret"),
+)
+def decode_select_emit(
+    q: jnp.ndarray,          # [b, kvh, g, d] UNROTATED queries
+    ckv: jnp.ndarray,        # [b, kvh, Wc, 2d] (donated; aliased in place)
+    ring: jnp.ndarray,       # [b, kvh, Bc, 2d] (donated; aliased in place)
+    kv_new: jnp.ndarray,     # [b, kvh, 1, 2d] unrotated new-token k||v
+    mem_kv: jnp.ndarray,     # [2, kvh, M, d]
+    pos_kv: jnp.ndarray,     # [kvh, Bc, 2d] packed k_pos||v_pos
+    w1k: jnp.ndarray,        # [kvh, Bc*d, hid]
+    b1k: jnp.ndarray,        # [kvh, hid]
+    w1v: jnp.ndarray,        # [kvh, Bc*d, hid]
+    b1v: jnp.ndarray,        # [kvh, hid]
+    w2: jnp.ndarray,         # [kvh, hid, 2d] packed w2_k||w2_v
+    b2: jnp.ndarray,         # [kvh, 2d] packed b2_k||b2_v
+    t: jnp.ndarray,          # scalar int32: tokens already cached
+    num_cb: jnp.ndarray,     # scalar int32: compressed blocks cached
+    max_blocks: int,
+    *, stride: int, sel_block: int, num_sel: int, n_slide: int,
+    scale: float, batch_tile: int = 32, interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (c_out [b,kvh,g,d], info [b,kvh*INFO_WIDTH], new_ckv, new_ring).
+
+    Emission happens in-kernel: when ``t+1`` is a stride multiple the
+    GroupedMLP compressor runs over the (shifted) ring window and the new
+    compressed row lands at ``slot = num_cb`` of the ckv cache, which is
+    aliased in place (reference emission: native_sparse_attention.py:418-443).
+    """
+    b, kvh, g, d = q.shape
+    Wc = ckv.shape[2]
+    Bc = ring.shape[2]
+    hid = w1k.shape[2]
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
+
+    t = t.astype(jnp.int32)
+    num_cb = num_cb.astype(jnp.int32)
+    overlap = Bc - stride
+    run_fill = overlap + t - num_cb * stride
+    emit = (run_fill + 1 == Bc).astype(jnp.int32)
+    slot = jnp.clip(num_cb, 0, Wc - 1)
+    scal = jnp.stack([t, num_cb, emit, slot])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kvh, b // Bt),
+        in_specs=[
+            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, Wc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mem_kv.shape[2], d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mem_kv.shape[2], d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bc, 2 * d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hid), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hid), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # w1k
+            pl.BlockSpec(memory_space=pl.ANY),     # w1v
+            pl.BlockSpec(memory_space=pl.ANY),     # w2
+        ],
+        out_specs=(
+            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, INFO_WIDTH), lambda hi, bi, s: (bi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ckv (aliased)
+            pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),  # ring (aliased)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bc * d, hid), ckv.dtype),
+            pltpu.VMEM((Bc * d, hid), ckv.dtype),
+            pltpu.VMEM((hid, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 1, 2 * d), ckv.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    c_out, info, new_ckv, new_ring = pl.pallas_call(
+        functools.partial(
+            _select_emit_kernel, scale=scale, stride=stride,
+            sel_block=sel_block, num_sel=num_sel, n_slide=n_slide,
+            max_blocks=max_blocks, blk_size=sel_block,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+            jax.ShapeDtypeStruct((b, kvh * INFO_WIDTH), jnp.int32),
+            jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+        ),
+        # operand numbering includes the scalar-prefetch arg (index 0):
+        # ckv is operand 2 -> output 2, ring is operand 3 -> output 3
+        input_output_aliases={2: 2, 3: 3},
+        interpret=interpret,
+    )(scal, q, ckv, ring, kv_new,
+      mem_kv[0], mem_kv[1], pos_kv, b1k[:, None], b1v[:, None], b2[:, None],
+      w1k, w1v, w2)
+    return c_out, info, new_ckv, new_ring
+
+
+def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
+                 scale, sel_block, window, num_sel, n_slide):
+    """Fine + sliding attention + gate combine over gathered blocks.
+
+    ``fkv``: [Bt, J, 2d] float32-convertible array (VMEM value).
+    Returns the gate-combined [Bt, g, d] float32 output.
+    (Same math as nsa_decode._attend_kernel round 2.)
+    """
+    Bt, _, g, d = rq_ref.shape
+    J = fkv.shape[1]
+    Bs = sel_block
+
+    rq = rq_ref[:, 0].astype(jnp.float32)                  # [Bt, g, d]
+    fk = fkv[:, :, :d].astype(jnp.float32)                 # [Bt, J, d]
+    fv = fkv[:, :, d:].astype(jnp.float32)
+
+    sim = jax.lax.dot_general(
+        rq, fk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bt, g, J]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, J), 2)
+    slot = col // Bs
+    within = col % Bs
+
+    off = num_sel + n_slide
+    sel_ok = jnp.zeros((Bt, g, J), jnp.bool_)
+    for s in range(num_sel):
+        ok_s = (msk_ref[:, off + s:off + s + 1] != 0)[:, :, None]
+        sel_ok = sel_ok | ((slot == s) & ok_s)
+
+    last_blk = t // Bs
+    trail_j = slot - num_sel
+    trail_blk = last_blk - (n_slide - 1) + trail_j
+    j_global = trail_blk * Bs + within
+    is_trail = slot >= num_sel
+    trail_valid = is_trail & (trail_blk >= 0)
+
+    fine_ok = sel_ok | (
+        trail_valid & (slot == num_sel + n_slide - 1) & (j_global <= t)
+    )
+    slide_ok = trail_valid & (j_global >= t - window) & (j_global <= t)
+
+    def masked_out(ok):
+        s_ = jnp.where(ok, sim, NEG)
+        m = jnp.max(s_, axis=-1, keepdims=True)
+        p = jnp.where(ok, jnp.exp(s_ - m), 0.0)
+        denom = jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
+        return jax.lax.dot_general(
+            p / denom, fv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    f_out = masked_out(fine_ok)
+    s_out = masked_out(slide_ok)
+
+    c_out = cout_ref[:, 0].astype(jnp.float32)
+    gts = gates_ref[:, 0].astype(jnp.float32)              # [Bt, g, 3d]
+    return (gts[:, :, :d] * c_out
+            + gts[:, :, d:2 * d] * f_out
+            + gts[:, :, 2 * d:] * s_out)                   # [Bt, g, d]
+
+
+def _attend_fused_kernel(
+    scal_ref,       # SMEM [1]: t
+    idx_ref,        # SMEM [b, kvh, n_slots] int32 block ids
+    rq_ref,         # [Bt, 1, g, d] rotated queries
+    kvnew_ref,      # [Bt, 1, 1, 2d] rotated-k||v of the new token
+    msk_ref,        # [Bt, INFO_WIDTH] packed info (vector view)
+    cout_ref,       # [Bt, 1, g, d] branch-1 output
+    gates_ref,      # [Bt, 1, g, 3d]
+    resid_ref,      # [Bt, 1, dim] residual-stream input x
+    wout_ref,       # [1, g*d, dim] this head's slice of w_out
+    kv_hbm,         # ANY: [b, kvh, max_len, 2d] cache (aliased -> kv_out)
+    out_ref,        # out: [Bt, 1, dim] f32, accumulated over the head grid
+    kv_out,         # out: ANY, aliased to kv_hbm
+    fkv_s,          # scratch VMEM [Bt, J, 2d]
+    wsem,           # DMA semaphore () for the cache row write
+    gsems,          # DMA semaphores (n_slots_max,) for gathers
+    *, scale, sel_block, window, num_sel, n_slide,
+):
+    t = scal_ref[0]
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    Bt, _, g, d = rq_ref.shape
+    Bs = sel_block
+    n_slots = num_sel + n_slide
+    max_blocks = kv_hbm.shape[2] // Bs
+
+    # ---- write the new token's kv row into the cache ---------------------
+    wr = pltpu.make_async_copy(
+        kvnew_ref.at[:, 0],
+        kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(t, 1), :],
+        wsem,
+    )
+    wr.start()
+
+    # ---- gather the selected blocks (per-row indices) --------------------
+    pending = []
+    for r in range(Bt):
+        for s in range(num_sel):
+            blk = idx_ref[bi * Bt + r, hi, s]
+            cp = pltpu.make_async_copy(
+                kv_out.at[bi * Bt + r, hi, pl.ds(blk * Bs, Bs), :],
+                fkv_s.at[r, pl.ds(s * Bs, Bs), :],
+                gsems.at[s],
+            )
+            cp.start()
+            pending.append(cp)
+
+    # ---- gather the trailing-window blocks (shared indices) --------------
+    # blocks before the sequence start are clipped to 0 and masked out of
+    # both branch softmaxes downstream, so their contents never matter
+    last_blk = t // Bs
+    for j in range(n_slide - 1):
+        blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
+        cp = pltpu.make_async_copy(
+            kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(blk * Bs, Bs), :],
+            fkv_s.at[:, pl.ds((num_sel + j) * Bs, Bs), :],
+            gsems.at[num_sel + j],
+        )
+        cp.start()
+        pending.append(cp)
+    # the diagonal block contains the row this kernel just wrote: wait for
+    # the write, then read it back so the current token attends to itself
+    wr.wait()
+    diag = jnp.clip(last_blk, 0, max_blocks - 1)
+    cp = pltpu.make_async_copy(
+        kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(diag * Bs, Bs), :],
+        fkv_s.at[:, pl.ds((n_slots - 1) * Bs, Bs), :],
+        gsems.at[n_slots - 1],
+    )
+    cp.start()
+    pending.append(cp)
+    for cp in pending:
+        cp.wait()
+
+    # ---- fine + sliding + gate combine -----------------------------------
+    combined = _attend_math(
+        t, rq_ref, fkv_s[:, :, :], msk_ref, cout_ref, gates_ref,
+        scale=scale, sel_block=sel_block, window=window, num_sel=num_sel,
+        n_slide=n_slide,
+    )                                                      # [Bt, g, d] f32
+
+    # ---- output projection, accumulated across the head grid -------------
+    flat = combined.reshape(Bt, g * d).astype(wout_ref.dtype)
+    part = jax.lax.dot_general(
+        flat, wout_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Bt, dim]
+
+    @pl.when(hi == 0)
+    def _init():
+        out_ref[:, 0] = resid_ref[:, 0].astype(jnp.float32) + part
+
+    @pl.when(hi != 0)
+    def _acc():
+        out_ref[:, 0] = out_ref[:, 0] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sel_block", "window", "num_sel", "n_slide", "scale",
+                     "batch_tile", "interpret"),
+)
+def decode_attend_fused(
+    rq: jnp.ndarray,         # [b, kvh, g, d] rotated queries
+    kv: jnp.ndarray,         # [b, kvh, max_len, 2d] cache (donated)
+    kv_new: jnp.ndarray,     # [b, kvh, 1, 2d] rotated-k||v new token row
+    info: jnp.ndarray,       # [b, kvh*INFO_WIDTH] from decode_select_emit
+    c_out: jnp.ndarray,      # [b, kvh, g, d]
+    gates: jnp.ndarray,      # [b, kvh, g, 3]
+    x: jnp.ndarray,          # [b, 1, dim] residual stream input
+    w_out: jnp.ndarray,      # [dim_inner, dim]
+    t: jnp.ndarray,
+    *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
+    batch_tile: int = 16, interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (x + attn_out [b, 1, dim] in x.dtype, new kv cache).
+
+    The kernel gathers the selected + trailing blocks from the HBM cache by
+    DMA, writes the new token's row in place (kv is aliased/donated), and
+    returns the residual-added, output-projected attention result.
+    """
+    b, kvh, g, d = rq.shape
+    dim = x.shape[-1]
+    n_slots = num_sel + n_slide
+    J = n_slots * sel_block
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
+
+    scal = t.astype(jnp.int32)[None]
+    idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
+    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    wout3 = w_out.reshape(kvh, g * d, dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // Bt, kvh),
+        in_specs=[
+            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # kv cache
+        ],
+        out_specs=(
+            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # kv (aliased)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+    )
+    out, new_kv = pl.pallas_call(
+        functools.partial(
+            _attend_fused_kernel, scale=scale, sel_block=sel_block,
+            window=window, num_sel=num_sel, n_slide=n_slide,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, dim), jnp.float32),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        ),
+        # operand numbering includes the two scalar-prefetch args; kv is
+        # the 10th operand (index 9) -> output 1
+        input_output_aliases={9: 1},
+        interpret=interpret,
+    )(scal, idx, rq, kv_new, info, c_out, gates_bc, x, wout3, kv)
+    return out.astype(x.dtype), new_kv

@@ -66,6 +66,28 @@ def rotate_at_offset(x: jnp.ndarray, offset, theta: float = 10000.0):
     return apply_rotary(x, positions, theta)
 
 
+def rotate_at_row_offsets(x: jnp.ndarray, offsets: jnp.ndarray,
+                          theta: float = 10000.0):
+    """Rotate x [b, H, 1, d] with PER-ROW absolute positions offsets [b].
+
+    The ragged-decode equivalent of ``rotate_at_offset``: row i rotates at
+    its own cache position (continuous-batching slots each have their own
+    sequence length)."""
+    b, H, n, d = x.shape
+    assert n == 1 and offsets.shape == (b,)
+    angles = rope_angles(offsets, d, theta)        # [b, d//2]
+    cos = jnp.cos(angles)[:, None, None]           # [b, 1, 1, d//2]
+    sin = jnp.sin(angles)[:, None, None]
+    xf = x.astype(jnp.float32)
+    x_pairs = xf.reshape(b, H, n, d // 2, 2)
+    x0 = x_pairs[..., 0]
+    x1 = x_pairs[..., 1]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    out = jnp.stack([r0, r1], axis=-1).reshape(b, H, n, d)
+    return out.astype(x.dtype)
+
+
 def rotate_qk(q: jnp.ndarray, k: jnp.ndarray, theta: float = 10000.0):
     """Rotate q and k jointly at positions [0, n) (training / prefill)."""
     n = q.shape[-2]

@@ -82,12 +82,18 @@ def fine_block_scores(
 
         # mask out the block diagonal (reference:
         # native_sparse_attention.py:682-691): the sliding window and the
-        # appended block-causal diagonal already cover it
+        # appended block-causal diagonal already cover it.  q_positions is
+        # [i] (shared across batch) or [b, i] (ragged decode: every slot
+        # sits at its own position).
         j = importance.shape[-1]
-        q_blk = q_positions // selection_block_size                   # [i]
-        diag = q_blk[:, None] == jnp.arange(j)[None, :]               # [i, j]
+        q_blk = q_positions // selection_block_size            # [i] | [b, i]
+        diag = q_blk[..., :, None] == jnp.arange(j)            # [i,j]|[b,i,j]
+        if diag.ndim == 2:
+            diag = diag[None, None]                            # [1, 1, i, j]
+        else:
+            diag = diag[:, None]                               # [b, 1, i, j]
         importance = jnp.where(
-            diag[None, None], mask_value(importance.dtype), importance
+            diag, mask_value(importance.dtype), importance
         )
 
     # pad(-1e3) -> softmax -> strip (reference: native_sparse_attention.py:693-695)

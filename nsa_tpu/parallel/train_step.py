@@ -146,6 +146,31 @@ def dryrun(n_devices: int, use_sparse: bool = True) -> None:
             assert np.isfinite(np.asarray(plogits)).all()
             print("dryrun pallas decode step ok")
 
+    # serving engine under the same (data, heads) mesh: slots shard over
+    # data, wave prefill + ragged multi-token decode run sharded and must
+    # agree token-for-token with the single-device engine
+    from ..serve import ContinuousBatchingEngine
+
+    eng_params = jax.device_get(params)
+    prompts = [np.arange(1, 10, dtype=np.int32),
+               np.arange(30, 42, dtype=np.int32)]
+
+    def _run_engine(mesh_arg):
+        eng = ContinuousBatchingEngine(
+            eng_params, model_cfg, max_batch=mesh.devices.shape[0] * 2,
+            max_len=64, prefill_buckets=(16,), steps_per_sync=2,
+            mesh=mesh_arg,
+        )
+        rids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+        outs = eng.run()
+        return [outs[r] for r in rids]
+
+    single = _run_engine(None)
+    sharded = _run_engine(mesh)
+    for s_, m_ in zip(single, sharded):
+        assert np.array_equal(s_, m_), (s_, m_)
+    print("dryrun sharded serving engine ok (token-exact vs single device)")
+
     # context parallelism: sequence axis sharded over a 1-D seq mesh
     from .context import context_parallel_loss, make_seq_mesh
 

@@ -44,6 +44,14 @@ def main():
     p.add_argument("--mix-original", type=float, default=0.5,
                    help="fraction of each batch drawn from the original corpus")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="every N steps, log ID/OOD PPL (small budget) and "
+                        "save a checkpoint — one run sweeps the whole "
+                        "steps axis of the CPT recipe")
+    p.add_argument("--eval-seq-len", type=int, default=None,
+                   help="PPL window (default: the model's training seq len "
+                        "passed via --seq-len)")
+    p.add_argument("--eval-max-tokens", type=int, default=200_000)
     args = p.parse_args()
 
     ckpt = latest_checkpoint(args.ckpt_dir)
@@ -76,6 +84,27 @@ def main():
         idx = (starts[:, None] + np.arange(args.seq_len + 1)[None, :]) % len(data)
         return data[idx].astype(np.int32)
 
+    qa_test = load_cs441_qa_bytes(split="test")
+    val = corpus[-2_000_000:]
+    eval_seq = args.eval_seq_len or args.seq_len
+
+    def eval_point(step):
+        from nsa_tpu.eval.perplexity import compute_ppl
+
+        ppl_ood, _ = compute_ppl(
+            params, cfg, qa_test, eval_seq, batch_size=4,
+            max_tokens=args.eval_max_tokens,
+        )
+        ppl_id, _ = compute_ppl(
+            params, cfg, val, eval_seq, batch_size=4,
+            max_tokens=args.eval_max_tokens,
+        )
+        logger.log(step, ppl_id=ppl_id, ppl_ood=ppl_ood)
+        print(f"step {step}: ppl_id={ppl_id:.4f} ppl_ood={ppl_ood:.4f}",
+              flush=True)
+        save_checkpoint(out_dir, meta["step"] + step, params, opt_state,
+                        cfg, extra={"continuous_pretrain": True})
+
     loss = float("nan")
     for step in range(args.num_batches):
         batch = np.concatenate([
@@ -90,6 +119,8 @@ def main():
         if step % 20 == 0 or step == args.num_batches - 1:
             loss = float(loss_dev)
             logger.log(step, cpt_loss=loss)
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            eval_point(step + 1)
 
     path = save_checkpoint(out_dir, meta["step"] + args.num_batches, params,
                            opt_state, cfg, extra={"loss": loss,

@@ -113,13 +113,20 @@ def main():
         if base_t is None:
             base_t, base_n = row["step_s"], n
         if shared_host:
-            # one host runs all virtual devices: inherent time growth is
-            # (n / base_n); efficiency below 1 means sharding overhead
-            eff = base_t * (n / base_n) / row["step_s"]
+            # Virtual CPU devices share one host's cores: neither weak-
+            # scaling efficiency nor speedup is defined here (the round-2
+            # host-normalized formula produced "efficiency" 2.6 — it was
+            # measuring host-core recruitment, not sharding quality).
+            # Record raw step times only and mark the rows as structural
+            # validation; real efficiency must come from real chips.
+            row["weak_scaling_efficiency"] = ""
+            row["metric_validity"] = "structural_only_cpu_mesh"
         else:
-            eff = base_t / row["step_s"]
-        row["weak_scaling_efficiency"] = round(eff, 3)
-        row["host_normalized"] = shared_host
+            # real hardware, weak scaling: ideal keeps step time flat
+            row["weak_scaling_efficiency"] = round(
+                base_t / row["step_s"], 3
+            )
+            row["metric_validity"] = "real_devices"
         del row["step_s"]
         logger.append(row)
         print(row)

@@ -21,7 +21,8 @@ from nsa_tpu.models.transformer import (
     transformer_prefill,
 )
 
-BATCH, PROMPT, GEN = 64, 128, 30
+BATCH = int(os.environ.get("TRACE_BATCH", "64"))
+PROMPT, GEN = 128, 30
 TRACE_DIR = "/tmp/jax_decode_trace"
 
 

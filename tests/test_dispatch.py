@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 import nsa_tpu.ops.pallas.nsa_decode as nsa_decode_mod
+import nsa_tpu.ops.pallas.nsa_decode_fused as nsa_fused_mod
 import nsa_tpu.ops.pallas.nsa_prefill as nsa_prefill_mod
 from nsa_tpu.config import NSAConfig, tiny_test_config
 from nsa_tpu.models.transformer import (
@@ -36,9 +37,17 @@ class _CallCounter:
 
 
 def _run_decode(cfg, batch=4, monkeypatch=None):
-    """Prefill + one decode step; returns (logits, #decode_select calls)."""
+    """Prefill + one decode step; returns (logits, #kernel-path calls).
+
+    Counts BOTH the round-2 ``decode_select`` and the round-3 fused
+    ``decode_select_emit`` as 'the kernel path ran'."""
     counter = _CallCounter(nsa_decode_mod.decode_select)
     monkeypatch.setattr(nsa_decode_mod, "decode_select", counter)
+    fused_counter = _CallCounter(nsa_fused_mod.decode_select_emit)
+    monkeypatch.setattr(nsa_fused_mod, "decode_select_emit", fused_counter)
+    # the decode path imports the kernels lazily from the module, so patch
+    # the symbol the importer resolves
+    import nsa_tpu.ops.nsa as nsa_ops  # noqa: F401
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     ids = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, size=(batch, 13)), jnp.int32
@@ -47,7 +56,7 @@ def _run_decode(cfg, batch=4, monkeypatch=None):
     logits, _ = transformer_decode_step(
         params, cfg, jnp.zeros((batch,), jnp.int32), cache
     )
-    return np.asarray(logits), counter.calls
+    return np.asarray(logits), counter.calls + fused_counter.calls
 
 
 class TestDecodeDispatch:
@@ -65,6 +74,8 @@ class TestDecodeDispatch:
         cfg = tiny_test_config(attn_impl="pallas")
         counter = _CallCounter(nsa_decode_mod.decode_select)
         monkeypatch.setattr(nsa_decode_mod, "decode_select", counter)
+        fused_counter = _CallCounter(nsa_fused_mod.decode_select_emit)
+        monkeypatch.setattr(nsa_fused_mod, "decode_select_emit", fused_counter)
         params = init_transformer(jax.random.PRNGKey(0), cfg)
         ids = jnp.asarray(
             np.random.RandomState(0).randint(0, 256, size=(16, 13)),
@@ -76,7 +87,9 @@ class TestDecodeDispatch:
         logits, _ = transformer_decode_step(
             params, cfg, jnp.zeros((16,), jnp.int32), cache
         )
-        assert counter.calls > 0, "kernel path must survive long max_len"
+        assert counter.calls + fused_counter.calls > 0, (
+            "kernel path must survive long max_len"
+        )
         assert np.all(np.isfinite(np.asarray(logits)))
 
     def test_sublane_illegal_tile_falls_back(self, monkeypatch):
@@ -122,6 +135,16 @@ class TestDecodeDispatch:
         cfg = tiny_test_config(attn_impl="xla")
         _, calls = _run_decode(cfg, monkeypatch=monkeypatch)
         assert calls == 0
+
+    def test_fused_path_matches_round2_kernels(self, monkeypatch):
+        """The round-3 fused path (in-kernel emit/gather/cache writes) must
+        agree with the round-2 kernel path it replaces."""
+        cfg = tiny_test_config(attn_impl="pallas")
+        logits_f, calls = _run_decode(cfg, batch=8, monkeypatch=monkeypatch)
+        assert calls > 0
+        monkeypatch.setenv("NSA_NO_FUSED_DECODE", "1")
+        logits_r2, _ = _run_decode(cfg, batch=8, monkeypatch=monkeypatch)
+        np.testing.assert_allclose(logits_f, logits_r2, rtol=2e-4, atol=2e-4)
 
     def test_odd_batch_kernel_matches_xla(self, monkeypatch):
         cfg = tiny_test_config(attn_impl="pallas")

@@ -155,3 +155,104 @@ class TestEngine:
         outs = eng.run()
         assert len(outs[rid]) <= 8
         np.testing.assert_array_equal(outs[rid], full[: len(outs[rid])])
+
+
+class TestEngineMesh:
+    """Serving under a (data, heads) mesh: slots shard over data, KV heads
+    over the TP axis (SURVEY 2.4 P1) — token-exact vs the single-device
+    engine."""
+
+    def test_mesh_engine_matches_single_device(self, model):
+        from nsa_tpu.parallel.mesh import make_mesh
+
+        cfg, params = model
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        mesh = make_mesh(
+            data=2, heads=2, devices=jax.devices()[:4]
+        )
+        prompts = [
+            np.arange(1, 10, dtype=np.int32),
+            np.arange(40, 52, dtype=np.int32),
+            np.arange(90, 98, dtype=np.int32),
+            np.arange(7, 14, dtype=np.int32),
+        ]
+
+        def run(mesh_arg):
+            eng = ContinuousBatchingEngine(
+                params, cfg, max_batch=4, max_len=64,
+                prefill_buckets=(8, 16), mesh=mesh_arg,
+            )
+            rids = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+            outs = eng.run()
+            return [outs[r] for r in rids]
+
+        single = run(None)
+        sharded = run(mesh)
+        for s, m in zip(single, sharded):
+            np.testing.assert_array_equal(s, m)
+
+    def test_mesh_engine_multi_step(self, model):
+        from nsa_tpu.parallel.mesh import make_mesh
+
+        cfg, params = model
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        mesh = make_mesh(
+            data=2, heads=2, devices=jax.devices()[:4]
+        )
+        prompt = np.arange(1, 10, dtype=np.int32)
+        want = reference_sample(params, cfg, prompt, 6)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16),
+            steps_per_sync=3, mesh=mesh,
+        )
+        rid = eng.add_request(prompt, max_new_tokens=6)
+        outs = eng.run()
+        np.testing.assert_array_equal(outs[rid], want)
+
+
+class TestEngineSampling:
+    """Temperature / top-k sampling threaded through the engine
+    (reference transformer.py:44-61; VERDICT r2 missing #2)."""
+
+    def test_temperature_zero_is_greedy(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 10, dtype=np.int32)
+        want = reference_sample(params, cfg, prompt, 6)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=1, max_len=64, prefill_buckets=(8, 16),
+            steps_per_sync=3, temperature=0.0,
+        )
+        rid = eng.add_request(prompt, max_new_tokens=6)
+        outs = eng.run()
+        np.testing.assert_array_equal(outs[rid], want)
+
+    @pytest.mark.parametrize("sps", [1, 3])
+    def test_temperature_sampling_runs(self, model, sps):
+        cfg, params = model
+        prompt = np.arange(1, 10, dtype=np.int32)
+        eng = ContinuousBatchingEngine(
+            params, cfg, max_batch=2, max_len=64, prefill_buckets=(8, 16),
+            steps_per_sync=sps, temperature=1.0, filter_thres=0.9, seed=7,
+        )
+        rid = eng.add_request(prompt, max_new_tokens=8)
+        outs = eng.run()
+        gen = outs[rid]
+        assert len(gen) == 8
+        assert np.all((gen >= 0) & (gen < cfg.vocab_size))
+
+    def test_sampling_seed_reproducible(self, model):
+        cfg, params = model
+        prompt = np.arange(1, 10, dtype=np.int32)
+
+        def run(seed):
+            eng = ContinuousBatchingEngine(
+                params, cfg, max_batch=1, max_len=64,
+                prefill_buckets=(8, 16), steps_per_sync=2,
+                temperature=0.8, seed=seed,
+            )
+            rid = eng.add_request(prompt, max_new_tokens=6)
+            return eng.run()[rid]
+
+        np.testing.assert_array_equal(run(3), run(3))

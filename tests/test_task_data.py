@@ -81,3 +81,19 @@ def test_pairs_collate_with_label_mask(task_dir):
     # ids decode back to the serialization
     text = bytes(ids[0][ids[0] != 0].tolist()).decode()
     assert text.startswith(pairs[0][0])
+
+
+def test_answer_matches_exact_first_token():
+    """Round-3 scoring: exact first-token match; degenerate repetitions of
+    the gold letter must NOT score (VERDICT r2 weak #6)."""
+    from nsa_tpu.eval.finetune_eval import answer_matches
+
+    assert answer_matches("b", "b")
+    assert answer_matches("b.", "b")
+    assert answer_matches("b) because of X", "B")
+    assert answer_matches("42", "42")
+    assert not answer_matches("bbbbbbbbbbbbbbb", "b")
+    assert not answer_matches("because", "b")
+    assert not answer_matches("a", "b")
+    assert not answer_matches(None, "b")
+    assert not answer_matches("", "b")
