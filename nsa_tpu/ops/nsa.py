@@ -530,13 +530,10 @@ def sparse_attention_decode(
     # in place): ring shift + conditional emission + ckv write live in
     # decode_select_emit; gather + kv write + attention + output projection
     # + residual live in decode_attend_fused -------------------------------
-    if (not ragged) and _use_fused_decode(
-        cfg, b, cache.ckv.dtype, max_len
-    ) and not (skip_fine or skip_compressed or skip_emit):
-        from .pallas.nsa_decode_fused import (
-            decode_attend_fused,
-            decode_select_emit,
-        )
+    if _use_fused_decode(cfg, b, cache.ckv.dtype, max_len) and not (
+        skip_fine or skip_compressed or skip_emit
+    ):
+        from .pallas import nsa_decode_fused as fused
 
         nsa_ = cfg.nsa
         S_k = nsa_.num_selected_blocks
@@ -549,7 +546,15 @@ def sparse_attention_decode(
         w2 = jnp.concatenate([kc["w2"], vc["w2"]], axis=-1).astype(cdt)
         b2 = jnp.concatenate([kc["b2"], vc["b2"]], axis=-1)
         num_cb_s = jnp.asarray(num_cb, jnp.int32)
-        c_out4, info, ckv_cache, ring_new = decode_select_emit(
+        select_fn = (
+            fused.decode_select_emit_ragged if ragged
+            else fused.decode_select_emit
+        )
+        attend_fn = (
+            fused.decode_attend_fused_ragged if ragged
+            else fused.decode_attend_fused
+        )
+        c_out4, info, ckv_cache, ring_new = select_fn(
             q.reshape(b, kvh, g, d),
             cache.ckv, cache.ring,
             kv_new[:, :, None].astype(cache.ring.dtype),
@@ -564,7 +569,7 @@ def sparse_attention_decode(
             scale=scale,
             batch_tile=_select_tile(cfg, max_len, stride, d, cache.ckv.dtype),
         )
-        out_x, kv_cache = decode_attend_fused(
+        out_x, kv_cache = attend_fn(
             rq.reshape(b, kvh, g, d),
             cache.kv,
             jnp.concatenate([rk_new, v_new], axis=-1)[:, :, None].astype(
@@ -575,7 +580,7 @@ def sparse_attention_decode(
             x, params["w_out"], t,
             sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
             scale=scale,
-            batch_tile=min(cfg.decode_attend_tile, 16),
+            batch_tile=(8 if ragged else min(cfg.decode_attend_tile, 16)),
         )
         new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring_new)
         return out_x, new_cache

@@ -50,16 +50,20 @@ from .nsa_decode import INFO_WIDTH, NEG, SCORE_EPS, _pick_batch_tile
 from .runtime import resolve_interpret
 
 
-def _select_math(scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
+def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
                  info_ref, *, scale, stride, sel_block, num_sel, n_slide,
                  max_blocks):
     """Compressed attention + selection pipeline (shared with round-2
-    kernel; see nsa_decode._select_kernel for the original)."""
-    t = scal_ref[0]
-    num_cb = scal_ref[1]
+    kernel; see nsa_decode._select_kernel for the original).
+
+    ``t`` / ``num_cb`` are int32 VALUES: scalars (single-position decode)
+    or [Bt] vectors (ragged decode — every row at its own position); all
+    position math broadcasts over the row dim either way."""
     Bt, _, g, d = q_ref.shape
     Wc = ckv_ref.shape[2]
     npf = sel_block // stride
+    t_r1 = jnp.asarray(t).reshape(-1, 1)                   # [1,1] | [Bt,1]
+    ncb_r2 = jnp.asarray(num_cb).reshape(-1, 1, 1)         # [1,1,1] | [Bt,1,1]
 
     q = q_ref[:, 0].astype(jnp.float32)                    # [Bt, g, d]
     ck = ckv_ref[:, 0, :, :d].astype(jnp.float32)          # [Bt, Wc, d]
@@ -70,7 +74,7 @@ def _select_math(scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
         preferred_element_type=jnp.float32,
     ) * scale                                              # [Bt, g, Wc]
     cb_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, Wc), 2)
-    sim_c = jnp.where(cb_ids < num_cb, sim_c, NEG)
+    sim_c = jnp.where(cb_ids < ncb_r2, sim_c, NEG)
 
     memk = memk_ref[0].astype(jnp.float32)                 # [M, d]
     sim_m = jax.lax.dot_general(
@@ -106,7 +110,7 @@ def _select_math(scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
             imp, pool, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [Bt, Wf]
-        diag = t // sel_block
+        diag = t_r1 // sel_block                           # [1,1] | [Bt,1]
         f_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, Wf), 1)
         imp = jnp.where(f_ids == diag, NEG, imp)
     mx = jnp.maximum(jnp.max(imp, axis=-1, keepdims=True), -1e3)
@@ -125,12 +129,12 @@ def _select_math(scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
         ).astype(jnp.int32)
         cur = jnp.where(f_ids == amax, NEG, cur)
 
-    last_blk = t // sel_block
+    last_blk = t_r1 // sel_block                           # [1,1] | [Bt,1]
     for j in range(n_slide):
         blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
-        info_ref[:, num_sel + j:num_sel + j + 1] = jnp.full(
-            (Bt, 1), blk, jnp.int32
-        )
+        info_ref[:, num_sel + j:num_sel + j + 1] = jnp.broadcast_to(
+            blk, (Bt, 1)
+        ).astype(jnp.int32)
 
 
 def _select_emit_kernel(
@@ -239,9 +243,9 @@ def _select_emit_kernel(
 
     # ---- compressed attention + selection (reads the pre-update ckv) -----
     _select_math(
-        scal_ref, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref, info_ref,
-        scale=scale, stride=stride, sel_block=sel_block, num_sel=num_sel,
-        n_slide=n_slide, max_blocks=max_blocks,
+        t, scal_ref[1], q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
+        info_ref, scale=scale, stride=stride, sel_block=sel_block,
+        num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
     )
 
 
@@ -363,13 +367,16 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
                  scale, sel_block, window, num_sel, n_slide):
     """Fine + sliding attention + gate combine over gathered blocks.
 
-    ``fkv``: [Bt, J, 2d] float32-convertible array (VMEM value).
+    ``fkv``: [Bt, J, 2d] float32-convertible array (VMEM value).  ``t`` is
+    an int32 VALUE: a scalar, or a [Bt] vector for ragged decode (per-row
+    positions) — all position math broadcasts over the row dim.
     Returns the gate-combined [Bt, g, d] float32 output.
     (Same math as nsa_decode._attend_kernel round 2.)
     """
     Bt, _, g, d = rq_ref.shape
     J = fkv.shape[1]
     Bs = sel_block
+    tb = jnp.asarray(t).reshape(-1, 1, 1)                  # [1,1,1]|[Bt,1,1]
 
     rq = rq_ref[:, 0].astype(jnp.float32)                  # [Bt, g, d]
     fk = fkv[:, :, :d].astype(jnp.float32)                 # [Bt, J, d]
@@ -390,7 +397,7 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
         ok_s = (msk_ref[:, off + s:off + s + 1] != 0)[:, :, None]
         sel_ok = sel_ok | ((slot == s) & ok_s)
 
-    last_blk = t // Bs
+    last_blk = tb // Bs
     trail_j = slot - num_sel
     trail_blk = last_blk - (n_slide - 1) + trail_j
     j_global = trail_blk * Bs + within
@@ -398,9 +405,9 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
     trail_valid = is_trail & (trail_blk >= 0)
 
     fine_ok = sel_ok | (
-        trail_valid & (slot == num_sel + n_slide - 1) & (j_global <= t)
+        trail_valid & (slot == num_sel + n_slide - 1) & (j_global <= tb)
     )
-    slide_ok = trail_valid & (j_global >= t - window) & (j_global <= t)
+    slide_ok = trail_valid & (j_global >= tb - window) & (j_global <= tb)
 
     def masked_out(ok):
         s_ = jnp.where(ok, sim, NEG)
@@ -601,4 +608,402 @@ def decode_attend_fused(
         input_output_aliases={9: 1},
         interpret=interpret,
     )(scal, idx, rq, kv_new, info, c_out, gates_bc, x, wout3, kv)
+    return out.astype(x.dtype), new_kv
+
+
+# ---------------------------------------------------------------------------
+# Ragged (per-row-position) variants: the continuous-batching engine's slot
+# pool decodes every row at its OWN cache position.  Batching the scalar t
+# over slots via vmap would force pallas into an explicit per-slot loop
+# (one kernel launch per slot per layer); these kernels take t as a [b]
+# vector instead — scalar-prefetched for per-row DMA addressing, and as a
+# tiny VMEM int32 column for the vectorized position math.
+# ---------------------------------------------------------------------------
+
+
+def _select_emit_ragged_kernel(
+    scal_ref,       # SMEM [5, b]: rows t, num_cb, emit, slot, emit_any
+    q_ref,          # [Bt, 1, g, d]
+    tn_ref,         # [Bt, 2] int32 VMEM: cols (t, num_cb)
+    ckv_ref,        # [Bt, 1, Wc, 2d]
+    ring_ref,       # [Bt, 1, Bc, 2d] aliased -> ring_out
+    kvnew_ref,      # [Bt, 1, 1, 2d] unrotated
+    memk_ref, memv_ref,   # [1, M, d]
+    pos_ref,        # [1, Bc, 2d]
+    b1k_ref, b1v_ref,     # [1, 1, hid]
+    b2_ref,         # [1, 1, 2d]
+    w1k_hbm, w1v_hbm, w2_hbm,   # ANY
+    cout_ref, info_ref, ckv_out, ring_out,
+    w1k_s, w1v_s, w2_s, cand_s, sems,
+    *, scale, stride, sel_block, num_sel, n_slide, max_blocks,
+):
+    emit_any = scal_ref[4, 0]
+    hi = pl.program_id(0)
+    bi = pl.program_id(1)
+    Bt = q_ref.shape[0]
+    Bc = ring_ref.shape[2]
+    d = q_ref.shape[3]
+    hid = w1k_s.shape[1]
+    tv = tn_ref[:, 0]                                      # [Bt]
+    ncb_v = tn_ref[:, 1]
+
+    # ---- ring shift (every step, position-independent) -------------------
+    ring = ring_ref[:, 0]
+    new_row = kvnew_ref[:, 0]
+    shifted = jnp.concatenate([ring[:, 1:], new_row], axis=1)
+    ring_out[:, 0] = shifted
+
+    # ---- per-row predicated emission -------------------------------------
+    @pl.when(jnp.logical_and(emit_any == 1, bi == 0))
+    def _load_weights():
+        cp1 = pltpu.make_async_copy(w1k_hbm.at[hi], w1k_s, sems.at[0])
+        cp2 = pltpu.make_async_copy(w1v_hbm.at[hi], w1v_s, sems.at[1])
+        cp3 = pltpu.make_async_copy(w2_hbm.at[hi], w2_s, sems.at[2])
+        cp1.start()
+        cp2.start()
+        cp3.start()
+        cp1.wait()
+        cp2.wait()
+        cp3.wait()
+
+    @pl.when(emit_any == 1)
+    def _emit():
+        row_pos = (tv.reshape(-1, 1, 1) + 1 - Bc) + jax.lax.broadcasted_iota(
+            jnp.int32, (Bt, Bc, 2 * d), 1
+        )
+        win = jnp.where(row_pos >= 0, shifted, 0.0)
+        win = win + pos_ref[0][None].astype(win.dtype)
+
+        hk = jnp.zeros((Bt, hid), jnp.float32)
+        hv = jnp.zeros((Bt, hid), jnp.float32)
+        for j in range(Bc):
+            hk = hk + jax.lax.dot_general(
+                win[:, j, :d], w1k_s[j * d:(j + 1) * d, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hv = hv + jax.lax.dot_general(
+                win[:, j, d:], w1v_s[j * d:(j + 1) * d, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        hk = jax.nn.relu(hk + b1k_ref[0, 0].astype(jnp.float32))
+        hv = jax.nn.relu(hv + b1v_ref[0, 0].astype(jnp.float32))
+        hk = hk.astype(cand_s.dtype)
+        hv = hv.astype(cand_s.dtype)
+        ck = jax.lax.dot_general(
+            hk, w2_s[:, :d], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0, 0, :d].astype(jnp.float32)
+        cv = jax.lax.dot_general(
+            hv, w2_s[:, d:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0, 0, d:].astype(jnp.float32)
+        cand_s[:, 0, :d] = ck.astype(cand_s.dtype)
+        cand_s[:, 0, d:] = cv.astype(cand_s.dtype)
+        for r in range(Bt):
+            row = bi * Bt + r
+
+            @pl.when(scal_ref[2, row] == 1)
+            def _write_row(r=r, row=row):
+                wr = pltpu.make_async_copy(
+                    cand_s.at[r],
+                    ckv_out.at[row, hi, pl.ds(scal_ref[3, row], 1), :],
+                    sems.at[3],
+                )
+                wr.start()
+                wr.wait()
+
+    _select_math(
+        tv, ncb_v, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref, info_ref,
+        scale=scale, stride=stride, sel_block=sel_block, num_sel=num_sel,
+        n_slide=n_slide, max_blocks=max_blocks,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "stride", "sel_block", "num_sel",
+                     "n_slide", "scale", "batch_tile", "interpret"),
+)
+def decode_select_emit_ragged(
+    q: jnp.ndarray,          # [b, kvh, g, d] UNROTATED queries
+    ckv: jnp.ndarray,        # [b, kvh, Wc, 2d] (donated; aliased in place)
+    ring: jnp.ndarray,       # [b, kvh, Bc, 2d] (donated; aliased in place)
+    kv_new: jnp.ndarray,     # [b, kvh, 1, 2d]
+    mem_kv: jnp.ndarray,     # [2, kvh, M, d]
+    pos_kv: jnp.ndarray,     # [kvh, Bc, 2d]
+    w1k, b1k, w1v, b1v, w2, b2,
+    t: jnp.ndarray,          # [b] int32 per-row positions
+    num_cb: jnp.ndarray,     # [b] int32
+    max_blocks: int,
+    *, stride: int, sel_block: int, num_sel: int, n_slide: int,
+    scale: float, batch_tile: int = 16, interpret: bool | None = None,
+):
+    """Ragged decode_select_emit: -> (c_out, info, new_ckv, new_ring)."""
+    b, kvh, g, d = q.shape
+    Wc = ckv.shape[2]
+    Bc = ring.shape[2]
+    hid = w1k.shape[2]
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
+
+    t = t.astype(jnp.int32)
+    num_cb = num_cb.astype(jnp.int32)
+    overlap = Bc - stride
+    run_fill = overlap + t - num_cb * stride
+    emit = (run_fill + 1 == Bc).astype(jnp.int32)
+    slot = jnp.clip(num_cb, 0, Wc - 1)
+    emit_any = jnp.broadcast_to((jnp.max(emit) > 0).astype(jnp.int32), (b,))
+    scal = jnp.stack([t, num_cb, emit, slot, emit_any])    # [5, b]
+    tn = jnp.stack([t, num_cb], axis=1)                    # [b, 2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kvh, b // Bt),
+        in_specs=[
+            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 2), lambda hi, bi, s: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, Wc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mem_kv.shape[2], d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mem_kv.shape[2], d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bc, 2 * d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hid), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hid), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * d), lambda hi, bi, s: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, INFO_WIDTH), lambda hi, bi, s: (bi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bc * d, hid), ckv.dtype),
+            pltpu.VMEM((Bc * d, hid), ckv.dtype),
+            pltpu.VMEM((hid, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 1, 2 * d), ckv.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    c_out, info, new_ckv, new_ring = pl.pallas_call(
+        functools.partial(
+            _select_emit_ragged_kernel, scale=scale, stride=stride,
+            sel_block=sel_block, num_sel=num_sel, n_slide=n_slide,
+            max_blocks=max_blocks,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+            jax.ShapeDtypeStruct((b, kvh * INFO_WIDTH), jnp.int32),
+            jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+        ),
+        # operand numbering includes the scalar-prefetch arg: ckv is
+        # operand 3 (scal, q, tn, ckv) -> output 2; ring operand 4 -> out 3
+        input_output_aliases={3: 2, 4: 3},
+        interpret=interpret,
+    )(scal, q, tn, ckv, ring, kv_new,
+      mem_kv[0], mem_kv[1], pos_kv, b1k[:, None], b1v[:, None], b2[:, None],
+      w1k, w1v, w2)
+    return c_out, info, new_ckv, new_ring
+
+
+def _attend_fused_ragged_kernel(
+    scal_ref,       # SMEM [b]: per-row t
+    idx_ref,        # SMEM [b, kvh, n_slots]
+    rq_ref,         # [Bt, 1, g, d]
+    tvec_ref,       # [Bt, 2] int32 VMEM (col 0 = t)
+    kvnew_ref,      # [Bt, 1, 1, 2d]
+    msk_ref,        # [Bt, INFO_WIDTH]
+    cout_ref,       # [Bt, 1, g, d]
+    gates_ref,      # [Bt, 1, g, 3d]
+    resid_ref,      # [Bt, 1, dim]
+    wout_ref,       # [1, g*d, dim]
+    kv_hbm,         # ANY (aliased -> kv_out)
+    out_ref,        # [Bt, 1, dim] f32 accumulated over heads
+    kv_out,         # ANY aliased
+    fkv_s,          # [Bt, J, 2d]
+    wsem,           # DMA ()
+    gsems,          # DMA (n_slots,)
+    *, scale, sel_block, window, num_sel, n_slide,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    Bt, _, g, d = rq_ref.shape
+    Bs = sel_block
+    n_slots = num_sel + n_slide
+    max_blocks = kv_hbm.shape[2] // Bs
+
+    # ---- per-row cache writes (wait before the diagonal reads) -----------
+    writes = []
+    for r in range(Bt):
+        row = bi * Bt + r
+        wr = pltpu.make_async_copy(
+            kvnew_ref.at[r, 0],
+            kv_out.at[row, hi, pl.ds(scal_ref[row], 1), :],
+            wsem,
+        )
+        wr.start()
+        writes.append(wr)
+
+    pending = []
+    for r in range(Bt):
+        row = bi * Bt + r
+        for s in range(num_sel):
+            blk = idx_ref[row, hi, s]
+            cp = pltpu.make_async_copy(
+                kv_out.at[row, hi, pl.ds(blk * Bs, Bs), :],
+                fkv_s.at[r, pl.ds(s * Bs, Bs), :],
+                gsems.at[s],
+            )
+            cp.start()
+            pending.append(cp)
+        t_r = scal_ref[row]
+        last_r = t_r // Bs
+        for j in range(n_slide - 1):
+            blk = jnp.clip(last_r - (n_slide - 1 - j), 0, max_blocks - 1)
+            cp = pltpu.make_async_copy(
+                kv_out.at[row, hi, pl.ds(blk * Bs, Bs), :],
+                fkv_s.at[r, pl.ds((num_sel + j) * Bs, Bs), :],
+                gsems.at[num_sel + j],
+            )
+            cp.start()
+            pending.append(cp)
+    for wr in writes:
+        wr.wait()
+    # diagonal blocks: contain the rows written above
+    for r in range(Bt):
+        row = bi * Bt + r
+        diag = jnp.clip(scal_ref[row] // Bs, 0, max_blocks - 1)
+        cp = pltpu.make_async_copy(
+            kv_out.at[row, hi, pl.ds(diag * Bs, Bs), :],
+            fkv_s.at[r, pl.ds((n_slots - 1) * Bs, Bs), :],
+            gsems.at[n_slots - 1],
+        )
+        cp.start()
+        pending.append(cp)
+    for cp in pending:
+        cp.wait()
+
+    combined = _attend_math(
+        tvec_ref[:, 0], rq_ref, fkv_s[:, :, :], msk_ref, cout_ref,
+        gates_ref, scale=scale, sel_block=sel_block, window=window,
+        num_sel=num_sel, n_slide=n_slide,
+    )
+
+    flat = combined.reshape(Bt, g * d).astype(wout_ref.dtype)
+    part = jax.lax.dot_general(
+        flat, wout_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(hi == 0)
+    def _init():
+        out_ref[:, 0] = resid_ref[:, 0].astype(jnp.float32) + part
+
+    @pl.when(hi != 0)
+    def _acc():
+        out_ref[:, 0] = out_ref[:, 0] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sel_block", "window", "num_sel", "n_slide", "scale",
+                     "batch_tile", "interpret"),
+)
+def decode_attend_fused_ragged(
+    rq: jnp.ndarray,         # [b, kvh, g, d]
+    kv: jnp.ndarray,         # [b, kvh, max_len, 2d] (donated)
+    kv_new: jnp.ndarray,     # [b, kvh, 1, 2d]
+    info: jnp.ndarray,       # [b, kvh*INFO_WIDTH]
+    c_out: jnp.ndarray,      # [b, kvh, g, d]
+    gates: jnp.ndarray,      # [b, kvh, g, 3]
+    x: jnp.ndarray,          # [b, 1, dim]
+    w_out: jnp.ndarray,      # [dim_inner, dim]
+    t: jnp.ndarray,          # [b] int32 per-row positions
+    *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
+    batch_tile: int = 8, interpret: bool | None = None,
+):
+    """Ragged decode_attend_fused: -> (x + attn_out, new kv cache)."""
+    b, kvh, g, d = rq.shape
+    dim = x.shape[-1]
+    n_slots = num_sel + n_slide
+    J = n_slots * sel_block
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
+
+    tarr = t.astype(jnp.int32)
+    idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
+    tn = jnp.stack([tarr, tarr], axis=1)                   # [b, 2] VMEM view
+    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    wout3 = w_out.reshape(kvh, g * d, dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // Bt, kvh),
+        in_specs=[
+            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 2), lambda bi, hi, s, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+    )
+    out, new_kv = pl.pallas_call(
+        functools.partial(
+            _attend_fused_ragged_kernel, scale=scale, sel_block=sel_block,
+            window=window, num_sel=num_sel, n_slide=n_slide,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, dim), jnp.float32),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        ),
+        # operand numbering includes the two scalar-prefetch args; kv is
+        # the 11th operand (index 10) -> output 1
+        input_output_aliases={10: 1},
+        interpret=interpret,
+    )(tarr, idx, rq, tn, kv_new, info, c_out, gates_bc, x, wout3, kv)
     return out.astype(x.dtype), new_kv

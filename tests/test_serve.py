@@ -256,3 +256,42 @@ class TestEngineSampling:
             return eng.run()[rid]
 
         np.testing.assert_array_equal(run(3), run(3))
+
+
+class TestEngineRaggedKernels:
+    """The ragged fused Pallas kernels (per-row t) must drive the engine to
+    the exact greedy tokens of the plain sampler (interpret mode on CPU)."""
+
+    def test_pallas_ragged_engine_matches_sampler(self):
+        import jax.numpy as jnp
+        import nsa_tpu.ops.pallas.nsa_decode_fused as fused_mod
+
+        cfg = tiny_test_config(attn_impl="pallas")
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        prompts = [
+            np.arange(1, 10, dtype=np.int32),
+            np.arange(40, 52, dtype=np.int32),
+            np.arange(90, 98, dtype=np.int32),
+        ]
+        wants = [reference_sample(params, cfg, p, 5) for p in prompts]
+
+        calls = {"n": 0}
+        orig = fused_mod.decode_select_emit_ragged
+
+        def counted(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        fused_mod.decode_select_emit_ragged = counted
+        try:
+            eng = ContinuousBatchingEngine(
+                params, cfg, max_batch=4, max_len=64,
+                prefill_buckets=(8, 16), steps_per_sync=2,
+            )
+            rids = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+            outs = eng.run()
+        finally:
+            fused_mod.decode_select_emit_ragged = orig
+        assert calls["n"] > 0, "ragged fused kernels did not run"
+        for rid, want in zip(rids, wants):
+            np.testing.assert_array_equal(outs[rid], want)
