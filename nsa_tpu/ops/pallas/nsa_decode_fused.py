@@ -50,6 +50,37 @@ from .nsa_decode import INFO_WIDTH, NEG, SCORE_EPS, _pick_batch_tile
 from .runtime import resolve_interpret
 
 
+import os as _os
+
+# The compressed-logit pass is a batched matvec (g=2 query rows per batch
+# element): as an MXU batched dot it engages 2 of 8 sublane rows per pass
+# and was the single largest decode cost at 300us/layer (RESULTS r2).  The
+# VPU formulation (broadcast multiply + lane reduction over d) streams the
+# same ckv bytes through 8x128 vector ops instead.  Env-switchable for
+# on-chip A/B; default VPU.
+_VPU_SELECT = _os.environ.get("NSA_SELECT_MXU", "") == ""
+
+
+def _batched_matvec_qk(q, ck):
+    """sim[b, g, w] = sum_d q[b, g, d] * ck[b, w, d] via VPU lane reduce."""
+    Bt, g, d = q.shape
+    outs = []
+    for gi in range(g):
+        prod = q[:, gi, None, :] * ck                      # [Bt, W, d]
+        outs.append(jnp.sum(prod, axis=-1))                # [Bt, W]
+    return jnp.stack(outs, axis=1)                         # [Bt, g, W]
+
+
+def _batched_matvec_av(attn, cv):
+    """out[b, g, d] = sum_w attn[b, g, w] * cv[b, w, d] (sublane reduce)."""
+    Bt, g, W = attn.shape
+    outs = []
+    for gi in range(g):
+        prod = attn[:, gi, :, None] * cv                   # [Bt, W, d]
+        outs.append(jnp.sum(prod, axis=1))                 # [Bt, d]
+    return jnp.stack(outs, axis=1)                         # [Bt, g, d]
+
+
 def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
                  info_ref, *, scale, stride, sel_block, num_sel, n_slide,
                  max_blocks):
@@ -69,10 +100,13 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
     ck = ckv_ref[:, 0, :, :d].astype(jnp.float32)          # [Bt, Wc, d]
     cv = ckv_ref[:, 0, :, d:].astype(jnp.float32)
 
-    sim_c = jax.lax.dot_general(
-        q, ck, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                              # [Bt, g, Wc]
+    if _VPU_SELECT:
+        sim_c = _batched_matvec_qk(q, ck) * scale          # [Bt, g, Wc]
+    else:
+        sim_c = jax.lax.dot_general(
+            q, ck, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
     cb_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, Wc), 2)
     sim_c = jnp.where(cb_ids < ncb_r2, sim_c, NEG)
 
@@ -91,10 +125,14 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
     denom = jnp.sum(pc, -1, keepdims=True) + jnp.sum(pm, -1, keepdims=True)
     attn_c = pc / denom
     attn_m = pm / denom
-    c_out = jax.lax.dot_general(
-        attn_c, cv, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
+    if _VPU_SELECT:
+        c_out = _batched_matvec_av(attn_c, cv)
+    else:
+        c_out = jax.lax.dot_general(
+            attn_c, cv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    c_out = c_out + jax.lax.dot_general(
         attn_m, memv_ref[0].astype(jnp.float32), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
