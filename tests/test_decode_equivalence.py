@@ -96,3 +96,89 @@ def test_decode_from_scratch_prefill_of_one():
     full = np.asarray(transformer_forward(params, cfg, ids))
     inc = decode_logits(params, cfg, ids, prompt_len=1, max_len=16)
     np.testing.assert_allclose(inc, full[:, 0:], rtol=2e-4, atol=2e-4)
+
+
+class TestRaggedDecode:
+    """transformer_decode_step_ragged (per-row positions) vs the scalar
+    step: uniform lengths must match exactly; mixed lengths must match
+    per-row scalar steps on singleton slices."""
+
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_uniform_ragged_matches_scalar(self, impl):
+        from nsa_tpu.models.transformer import (
+            init_model_cache,
+            transformer_decode_step,
+            transformer_decode_step_ragged,
+        )
+
+        cfg = tiny_test_config(attn_impl=impl)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        b, t0, max_len = 4, 13, 32
+        ids = jax.random.randint(jax.random.PRNGKey(1), (b, t0), 0, 256)
+        _, cache = transformer_prefill(params, cfg, ids, max_len)
+        tok = jnp.asarray(np.arange(b), jnp.int32)
+
+        logits_s, cache_s = transformer_decode_step(params, cfg, tok, cache)
+        seq_lens = jnp.full((b,), t0, jnp.int32)
+        logits_r, layers_r = transformer_decode_step_ragged(
+            params, cfg, tok, cache.layers, seq_lens
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_r), np.asarray(logits_s), rtol=2e-4, atol=2e-4
+        )
+        for lr, ls in zip(
+            jax.tree_util.tree_leaves(layers_r),
+            jax.tree_util.tree_leaves(cache_s.layers),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lr), np.asarray(ls), rtol=2e-4, atol=2e-4
+            )
+
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_mixed_ragged_matches_per_row_scalar(self, impl):
+        from nsa_tpu.models.transformer import (
+            ModelCache,
+            transformer_decode_step,
+            transformer_decode_step_ragged,
+        )
+
+        cfg = tiny_test_config(attn_impl=impl)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        b, max_len = 4, 32
+        lens = [13, 9, 17, 6]
+        ids = jax.random.randint(jax.random.PRNGKey(1), (b, max(lens)), 0, 256)
+
+        # per-row scalar references: prefill each row alone at its length
+        want_logits, want_layers = [], []
+        for i, L in enumerate(lens):
+            _, c = transformer_prefill(params, cfg, ids[i:i + 1, :L], max_len)
+            lg, c2 = transformer_decode_step(
+                params, cfg, jnp.asarray([i], jnp.int32), c
+            )
+            want_logits.append(np.asarray(lg)[0])
+            want_layers.append(c2.layers)
+
+        # pooled ragged: build the pool from the same per-row prefills
+        pooled = []
+        for i, L in enumerate(lens):
+            _, c = transformer_prefill(params, cfg, ids[i:i + 1, :L], max_len)
+            pooled.append(c.layers)
+        pool = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *pooled
+        )
+        logits_r, layers_r = transformer_decode_step_ragged(
+            params, cfg, jnp.asarray(np.arange(b), jnp.int32), pool,
+            jnp.asarray(lens, jnp.int32),
+        )
+        for i in range(b):
+            np.testing.assert_allclose(
+                np.asarray(logits_r)[i], want_logits[i], rtol=2e-4, atol=2e-4
+            )
+            got_i = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x[i:i + 1], layers_r)
+            )
+            want_i = jax.tree_util.tree_leaves(want_layers[i])
+            for a, w in zip(got_i, want_i):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(w), rtol=2e-4, atol=2e-4
+                )
