@@ -49,6 +49,7 @@ def main():
                    help="checkpoint dir to load trained weights from")
     p.add_argument("--attn-impl", default="pallas",
                    choices=["reference", "xla", "pallas"])
+    p.add_argument("--temperature", type=float, default=0.0)
     args = p.parse_args()
 
     if args.ckpt:
@@ -78,6 +79,7 @@ def main():
             params, cfg, max_batch=args.max_batch, max_len=args.max_len,
             prefill_buckets=(128, 256, 512),
             dtype=jnp.bfloat16, steps_per_sync=args.steps_per_sync,
+            temperature=args.temperature,
         )
         for pr in prompts:
             eng.add_request(pr, max_new_tokens=args.gen)
