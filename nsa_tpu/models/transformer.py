@@ -336,13 +336,20 @@ def transformer_decode_step(
     t = cache.seq_len
     new_layers = []
     for layer, lc in zip(params["layers"], cache.layers):
-        # decode fns return the post-residual stream x + attn_out directly
+        # decode fns return the post-residual stream x + attn_out directly;
+        # for gelu-FF sparse layers the decode step owns the FF block too
+        # (run in-kernel on the fused path)
         if cfg.use_sparse_attn:
-            x, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
+            ffp = layer["ff"] if cfg.ff_kind == "gelu" else None
+            x, new_lc = sparse_attention_decode(
+                layer["attn"], cfg, x, lc, t, ff_params=ffp
+            )
+            if ffp is None:
+                x = x + _ff_apply(layer["ff"], cfg, x)
         else:
             x, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
+            x = x + _ff_apply(layer["ff"], cfg, x)
         new_layers.append(new_lc)
-        x = x + _ff_apply(layer["ff"], cfg, x)
     x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     logits = (x[:, 0] @ params["to_logits"].astype(dtype)).astype(jnp.float32)
     return logits, ModelCache(layers=tuple(new_layers), seq_len=t + 1)
@@ -368,11 +375,16 @@ def transformer_decode_step_ragged(
     new_layers = []
     for layer, lc in zip(params["layers"], layer_caches):
         if cfg.use_sparse_attn:
-            x, new_lc = sparse_attention_decode(layer["attn"], cfg, x, lc, t)
+            ffp = layer["ff"] if cfg.ff_kind == "gelu" else None
+            x, new_lc = sparse_attention_decode(
+                layer["attn"], cfg, x, lc, t, ff_params=ffp
+            )
+            if ffp is None:
+                x = x + _ff_apply(layer["ff"], cfg, x)
         else:
             x, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
+            x = x + _ff_apply(layer["ff"], cfg, x)
         new_layers.append(new_lc)
-        x = x + _ff_apply(layer["ff"], cfg, x)
     x = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     logits = (x[:, 0] @ params["to_logits"].astype(dtype)).astype(jnp.float32)
     return logits, tuple(new_layers)

@@ -447,18 +447,37 @@ def _use_fused_decode(cfg: ModelConfig, b: int, dtype, max_len: int) -> bool:
     return all(bt % 8 == 0 or bt == b for bt in tiles)
 
 
+def _ff_apply_gelu(ffp, cfg: ModelConfig, x):
+    """Local mirror of models.transformer._ff_apply (gelu kind) so the
+    decode step can own the feed-forward when the caller hands it the FF
+    params (the fused kernel path runs it in-kernel; fallbacks run this)."""
+    h = rms_norm(x, ffp["norm_scale"], cfg.norm_eps)
+    h = jax.nn.gelu(
+        h @ ffp["w1"].astype(h.dtype) + ffp["b1"].astype(h.dtype),
+        approximate=False,
+    )
+    return h @ ffp["w2"].astype(h.dtype) + ffp["b2"].astype(h.dtype)
+
+
 def sparse_attention_decode(
     params,
     cfg: ModelConfig,
     x: jnp.ndarray,
     cache: NSADecodeCache,
     seq_len: jnp.ndarray,
+    ff_params=None,
 ) -> Tuple[jnp.ndarray, NSADecodeCache]:
     """One decode step. x: [b, 1, dim]; seq_len: scalar tokens already cached.
 
     Returns ``(x + attn_out, new_cache)`` — the UPDATED residual stream,
     not the bare attention output, so the fully-fused kernel path can fold
     the output projection and residual add into its last grid pass.
+
+    With ``ff_params`` (the layer's gelu feed-forward dict) the step ALSO
+    applies the whole FF block and returns the complete layer output: the
+    fused kernel path runs it inside decode_attend's last head-grid step
+    (one fewer XLA dispatch chain per layer), fallback paths apply it as
+    XLA ops — either way the caller must not re-apply it.
 
     Static-shape equivalent of the reference ``forward_inference``
     (reference: native_sparse_attention.py:338-547), minus its divergences
@@ -554,6 +573,12 @@ def sparse_attention_decode(
             fused.decode_attend_fused_ragged if ragged
             else fused.decode_attend_fused
         )
+        ff_tuple = ()
+        if ff_params is not None and not os.environ.get("NSA_NO_FF_FUSE"):
+            ff_tuple = (
+                ff_params["norm_scale"], ff_params["w1"], ff_params["b1"],
+                ff_params["w2"], ff_params["b2"],
+            )
         c_out4, info, ckv_cache, ring_new = select_fn(
             q.reshape(b, kvh, g, d),
             cache.ckv, cache.ring,
@@ -577,11 +602,14 @@ def sparse_attention_decode(
             ),
             info, c_out4,
             gates.reshape(b, kvh, g, 3),
-            x, params["w_out"], t,
+            x, params["w_out"], t, ff_tuple,
             sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
             scale=scale,
             batch_tile=(8 if ragged else min(cfg.decode_attend_tile, 16)),
+            eps=cfg.norm_eps,
         )
+        if ff_params is not None and not ff_tuple:
+            out_x = out_x + _ff_apply_gelu(ff_params, cfg, out_x)
         new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring_new)
         return out_x, new_cache
 
@@ -719,7 +747,10 @@ def sparse_attention_decode(
     out = out.reshape(b, 1, h * d) @ params["w_out"].astype(x.dtype)
 
     new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring)
-    return x + out, new_cache
+    out_x = x + out
+    if ff_params is not None:
+        out_x = out_x + _ff_apply_gelu(ff_params, cfg, out_x)
+    return out_x, new_cache
 
 
 def _decode_compressed(params, qg, ckv_cache, num_cb, num_mem, scale, b, kvh,

@@ -467,6 +467,30 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
             + gts[:, :, 2 * d:] * s_out)                   # [Bt, g, d]
 
 
+def _ff_tail(y32, resid_dtype, ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_s,
+             ffw2_s, *, eps):
+    """Feed-forward block over the accumulated residual stream, matching
+    models.transformer._ff_apply (gelu kind) op-for-op: the stream is
+    cast to the model dtype first (the model adds attn in that dtype),
+    RMSNorm runs in f32, the two matmuls round to the model dtype before
+    their bias adds, gelu is exact."""
+    y16 = y32.astype(resid_dtype)                          # [Bt, dim]
+    yf = y16.astype(jnp.float32)
+    var = jnp.mean(yf * yf, axis=-1, keepdims=True)
+    normed = (yf * jax.lax.rsqrt(var + eps)
+              * ffnorm_ref[0].astype(jnp.float32)).astype(resid_dtype)
+    h = jax.lax.dot_general(
+        normed, ffw1_s[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(resid_dtype) + ffb1_ref[0].astype(resid_dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    o = jax.lax.dot_general(
+        h, ffw2_s[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(resid_dtype) + ffb2_ref[0].astype(resid_dtype)
+    return (y16 + o).astype(jnp.float32)
+
+
 def _attend_fused_kernel(
     scal_ref,       # SMEM [1]: t
     idx_ref,        # SMEM [b, kvh, n_slots] int32 block ids
@@ -477,17 +501,31 @@ def _attend_fused_kernel(
     gates_ref,      # [Bt, 1, g, 3d]
     resid_ref,      # [Bt, 1, dim] residual-stream input x
     wout_ref,       # [1, g*d, dim] this head's slice of w_out
-    kv_hbm,         # ANY: [b, kvh, max_len, 2d] cache (aliased -> kv_out)
-    out_ref,        # out: [Bt, 1, dim] f32, accumulated over the head grid
-    kv_out,         # out: ANY, aliased to kv_hbm
-    fkv_s,          # scratch VMEM [Bt, J, 2d]
-    wsem,           # DMA semaphore () for the cache row write
-    gsems,          # DMA semaphores (n_slots_max,) for gathers
-    *, scale, sel_block, window, num_sel, n_slide,
+    *rest,
+    # operand layout depends on the static with_ff flag:
+    #   with_ff: ffnorm [1,dim], ffb1 [1,hid4], ffb2 [1,dim],
+    #            ffw1 ANY [dim,hid4], ffw2 ANY [hid4,dim], kv ANY,
+    #            out, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems
+    #   else:    kv ANY, out, kv_out, fkv_s, wsem, gsems
+    scale, sel_block, window, num_sel, n_slide, with_ff, eps,
 ):
+    if with_ff:
+        (ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_hbm, ffw2_hbm, kv_hbm,
+         out_ref, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems) = rest
+    else:
+        (kv_hbm, out_ref, kv_out, fkv_s, wsem, gsems) = rest
     t = scal_ref[0]
     bi = pl.program_id(0)
     hi = pl.program_id(1)
+
+    if with_ff:
+        # stream the FF weights once (first program); waited before the
+        # FF tail on the last head step of the first batch tile — scratch
+        # persists across grid steps for the later tiles
+        @pl.when(jnp.logical_and(bi == 0, hi == 0))
+        def _load_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).start()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).start()
     Bt, _, g, d = rq_ref.shape
     Bs = sel_block
     n_slots = num_sel + n_slide
@@ -563,11 +601,24 @@ def _attend_fused_kernel(
     def _acc():
         out_ref[:, 0] = out_ref[:, 0] + part
 
+    if with_ff:
+        @pl.when(jnp.logical_and(bi == 0, hi == pl.num_programs(1) - 1))
+        def _wait_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).wait()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).wait()
+
+        @pl.when(hi == pl.num_programs(1) - 1)
+        def _ff():
+            out_ref[:, 0] = _ff_tail(
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
+                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+            )
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("sel_block", "window", "num_sel", "n_slide", "scale",
-                     "batch_tile", "interpret"),
+                     "batch_tile", "interpret", "eps"),
 )
 def decode_attend_fused(
     rq: jnp.ndarray,         # [b, kvh, g, d] rotated queries
@@ -579,14 +630,18 @@ def decode_attend_fused(
     x: jnp.ndarray,          # [b, 1, dim] residual stream input
     w_out: jnp.ndarray,      # [dim_inner, dim]
     t: jnp.ndarray,
+    ff: tuple = (),          # optional (norm_scale, w1, b1, w2, b2)
     *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
-    batch_tile: int = 16, interpret: bool | None = None,
+    batch_tile: int = 16, interpret: bool | None = None, eps: float = 1e-6,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (x + attn_out [b, 1, dim] in x.dtype, new kv cache).
+    """-> (layer output [b, 1, dim] in x.dtype, new kv cache).
 
     The kernel gathers the selected + trailing blocks from the HBM cache by
     DMA, writes the new token's row in place (kv is aliased/donated), and
-    returns the residual-added, output-projected attention result.
+    returns the residual-added, output-projected attention result.  When
+    ``ff`` is given (gelu-kind feed-forward params), the whole FF block
+    runs in the kernel's last head-grid step and the return value is the
+    COMPLETE layer output ``y + FF(norm(y))`` with ``y = x + attn``.
     """
     b, kvh, g, d = rq.shape
     dim = x.shape[-1]
@@ -594,58 +649,86 @@ def decode_attend_fused(
     J = n_slots * sel_block
     interpret = resolve_interpret(interpret)
     Bt = _pick_batch_tile(b, batch_tile)
+    with_ff = bool(ff)
 
     scal = t.astype(jnp.int32)[None]
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
     gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
     wout3 = w_out.reshape(kvh, g * d, dim)
 
+    in_specs = [
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [scal, idx, rq, kv_new, info, c_out, gates_bc, x, wout3]
+    scratch = [
+        pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((n_slots,)),
+    ]
+    if with_ff:
+        fnorm, fw1, fb1, fw2, fb2 = ff
+        hid4 = fw1.shape[1]
+        wdt = x.dtype
+        in_specs += [
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid4), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ffw1
+            pl.BlockSpec(memory_space=pl.ANY),     # ffw2
+        ]
+        operands += [fnorm[None], fb1[None], fb2[None],
+                     fw1.astype(wdt), fw2.astype(wdt)]
+        scratch += [
+            pltpu.VMEM((dim, hid4), wdt),
+            pltpu.VMEM((hid4, dim), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))    # kv cache
+    operands.append(kv)
+    kv_idx = len(operands) - 1
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // Bt, kvh),
-        in_specs=[
-            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # kv cache
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # kv (aliased)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-        ],
+        scratch_shapes=scratch,
     )
     out, new_kv = pl.pallas_call(
         functools.partial(
             _attend_fused_kernel, scale=scale, sel_block=sel_block,
             window=window, num_sel=num_sel, n_slide=n_slide,
+            with_ff=with_ff, eps=eps,
         ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, dim), jnp.float32),
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
         ),
-        # operand numbering includes the two scalar-prefetch args; kv is
-        # the 10th operand (index 9) -> output 1
-        input_output_aliases={9: 1},
+        # operand numbering includes the two scalar-prefetch args
+        input_output_aliases={kv_idx: 1},
         interpret=interpret,
-    )(scal, idx, rq, kv_new, info, c_out, gates_bc, x, wout3, kv)
+    )(*operands)
     return out.astype(x.dtype), new_kv
 
 
@@ -877,16 +960,22 @@ def _attend_fused_ragged_kernel(
     gates_ref,      # [Bt, 1, g, 3d]
     resid_ref,      # [Bt, 1, dim]
     wout_ref,       # [1, g*d, dim]
-    kv_hbm,         # ANY (aliased -> kv_out)
-    out_ref,        # [Bt, 1, dim] f32 accumulated over heads
-    kv_out,         # ANY aliased
-    fkv_s,          # [Bt, J, 2d]
-    wsem,           # DMA ()
-    gsems,          # DMA (n_slots,)
-    *, scale, sel_block, window, num_sel, n_slide,
+    *rest,          # (+ optional FF operands; see _attend_fused_kernel)
+    scale, sel_block, window, num_sel, n_slide, with_ff, eps,
 ):
+    if with_ff:
+        (ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_hbm, ffw2_hbm, kv_hbm,
+         out_ref, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems) = rest
+    else:
+        (kv_hbm, out_ref, kv_out, fkv_s, wsem, gsems) = rest
     bi = pl.program_id(0)
     hi = pl.program_id(1)
+
+    if with_ff:
+        @pl.when(jnp.logical_and(bi == 0, hi == 0))
+        def _load_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).start()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).start()
     Bt, _, g, d = rq_ref.shape
     Bs = sel_block
     n_slots = num_sel + n_slide
@@ -963,11 +1052,24 @@ def _attend_fused_ragged_kernel(
     def _acc():
         out_ref[:, 0] = out_ref[:, 0] + part
 
+    if with_ff:
+        @pl.when(jnp.logical_and(bi == 0, hi == pl.num_programs(1) - 1))
+        def _wait_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).wait()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).wait()
+
+        @pl.when(hi == pl.num_programs(1) - 1)
+        def _ff():
+            out_ref[:, 0] = _ff_tail(
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
+                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+            )
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("sel_block", "window", "num_sel", "n_slide", "scale",
-                     "batch_tile", "interpret"),
+                     "batch_tile", "interpret", "eps"),
 )
 def decode_attend_fused_ragged(
     rq: jnp.ndarray,         # [b, kvh, g, d]
@@ -979,16 +1081,21 @@ def decode_attend_fused_ragged(
     x: jnp.ndarray,          # [b, 1, dim]
     w_out: jnp.ndarray,      # [dim_inner, dim]
     t: jnp.ndarray,          # [b] int32 per-row positions
+    ff: tuple = (),          # optional (norm_scale, w1, b1, w2, b2)
     *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
-    batch_tile: int = 8, interpret: bool | None = None,
+    batch_tile: int = 8, interpret: bool | None = None, eps: float = 1e-6,
 ):
-    """Ragged decode_attend_fused: -> (x + attn_out, new kv cache)."""
+    """Ragged decode_attend_fused: -> (layer output, new kv cache).
+
+    With ``ff`` the feed-forward block runs in-kernel on the last
+    head-grid step (see decode_attend_fused)."""
     b, kvh, g, d = rq.shape
     dim = x.shape[-1]
     n_slots = num_sel + n_slide
     J = n_slots * sel_block
     interpret = resolve_interpret(interpret)
     Bt = _pick_batch_tile(b, batch_tile)
+    with_ff = bool(ff)
 
     tarr = t.astype(jnp.int32)
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
@@ -996,52 +1103,79 @@ def decode_attend_fused_ragged(
     gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
     wout3 = w_out.reshape(kvh, g * d, dim)
 
+    in_specs = [
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 2), lambda bi, hi, s, i: (bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [tarr, idx, rq, tn, kv_new, info, c_out, gates_bc, x, wout3]
+    scratch = [
+        pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((n_slots,)),
+    ]
+    if with_ff:
+        fnorm, fw1, fb1, fw2, fb2 = ff
+        hid4 = fw1.shape[1]
+        wdt = x.dtype
+        in_specs += [
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid4), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        operands += [fnorm[None], fb1[None], fb2[None],
+                     fw1.astype(wdt), fw2.astype(wdt)]
+        scratch += [
+            pltpu.VMEM((dim, hid4), wdt),
+            pltpu.VMEM((hid4, dim), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(kv)
+    kv_idx = len(operands) - 1
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // Bt, kvh),
-        in_specs=[
-            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 2), lambda bi, hi, s, i: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i: (bi, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-        ],
+        scratch_shapes=scratch,
     )
     out, new_kv = pl.pallas_call(
         functools.partial(
             _attend_fused_ragged_kernel, scale=scale, sel_block=sel_block,
             window=window, num_sel=num_sel, n_slide=n_slide,
+            with_ff=with_ff, eps=eps,
         ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, dim), jnp.float32),
             jax.ShapeDtypeStruct(kv.shape, kv.dtype),
         ),
-        # operand numbering includes the two scalar-prefetch args; kv is
-        # the 11th operand (index 10) -> output 1
-        input_output_aliases={10: 1},
+        # operand numbering includes the two scalar-prefetch args
+        input_output_aliases={kv_idx: 1},
         interpret=interpret,
-    )(tarr, idx, rq, tn, kv_new, info, c_out, gates_bc, x, wout3, kv)
+    )(*operands)
     return out.astype(x.dtype), new_kv
