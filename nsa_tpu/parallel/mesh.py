@@ -25,6 +25,25 @@ from jax.sharding import Mesh
 
 AXIS_DATA = "data"
 AXIS_HEADS = "heads"
+AXIS_DCN = "dcn"
+
+
+def make_hierarchical_mesh(
+    dcn: int, data: int, heads: int, devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Multi-host-shaped 3-axis mesh: ("dcn", "data", "heads").
+
+    The leading axis models the inter-host (DCN) tier of a multi-pod
+    deployment: batches shard over BOTH ("dcn", "data"), so the gradient
+    all-reduce GSPMD inserts spans the slow tier exactly once (ICI
+    reductions inside a host, one DCN reduction across hosts).  Parameters
+    and TP stay inside a host (replicated over "dcn").  With virtual CPU
+    devices this validates the sharding structure; real multi-host meshes
+    pass their actual device grid."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert dcn * data * heads == len(devices), (dcn, data, heads, len(devices))
+    arr = np.array(devices).reshape(dcn, data, heads)
+    return Mesh(arr, (AXIS_DCN, AXIS_DATA, AXIS_HEADS))
 
 
 def make_mesh(

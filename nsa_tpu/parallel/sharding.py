@@ -72,9 +72,13 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
-    """Shard a token batch along its batch dimension over the data axis."""
+    """Shard a token batch along its batch dimension over the data axis
+    (and the DCN axis too on a hierarchical multi-host-shaped mesh)."""
     spec = [None] * batch.ndim
-    spec[batch_axis] = AXIS_DATA
+    if "dcn" in mesh.axis_names:
+        spec[batch_axis] = ("dcn", AXIS_DATA)
+    else:
+        spec[batch_axis] = AXIS_DATA
     return jax.device_put(batch, NamedSharding(mesh, P(*spec)))
 
 

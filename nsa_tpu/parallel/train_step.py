@@ -146,6 +146,30 @@ def dryrun(n_devices: int, use_sparse: bool = True) -> None:
             assert np.isfinite(np.asarray(plogits)).all()
             print("dryrun pallas decode step ok")
 
+    # multi-host-shaped hierarchical mesh: ("dcn", "data", "heads") — the
+    # batch shards over BOTH data tiers, so the gradient all-reduce spans
+    # the DCN axis exactly once; params/TP stay host-local (replicated
+    # over dcn).  Validates the multi-pod sharding structure (SURVEY 2.4).
+    if n_devices >= 8:
+        from .mesh import make_hierarchical_mesh
+
+        heads_axis = mesh.devices.shape[1]
+        hmesh = make_hierarchical_mesh(2, n_devices // (2 * heads_axis),
+                                       heads_axis)
+        with hmesh:
+            hparams, hopt, hoptim = make_sharded_train_state(
+                model_cfg, train_cfg, hmesh
+            )
+            _, _, hloss = sharded_train_step(
+                hparams, hopt, batch, model_cfg, hoptim,
+                train_cfg.grad_accum_every, hmesh,
+            )
+            hloss = float(jax.block_until_ready(hloss))
+            assert np.isfinite(hloss), hloss
+            assert abs(hloss - loss) < 1e-3, (hloss, loss)
+            print(f"dryrun hierarchical (dcn, data, heads) mesh ok: "
+                  f"loss={hloss:.4f} (== flat mesh)")
+
     # serving engine under the same (data, heads) mesh: slots shard over
     # data, wave prefill + ragged multi-token decode run sharded and must
     # agree token-for-token with the single-device engine

@@ -170,3 +170,35 @@ class TestShardedExecution:
             sids = shard_batch(jnp.asarray(ids), mesh)
             got = float(jax.jit(lambda p, i: transformer_loss(p, cfg, i))(sp, sids))
         assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestHierarchicalMesh:
+    """Multi-host-shaped (dcn, data, heads) mesh: batch shards over both
+    data tiers; the train step must match the flat-mesh loss exactly."""
+
+    def test_hierarchical_train_step_matches_flat(self):
+        from nsa_tpu.parallel.mesh import make_hierarchical_mesh
+        from nsa_tpu.parallel.train_step import make_sharded_train_state
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = tiny_test_config()
+        tc = TrainConfig(batch_size=4, seq_len=16, grad_accum_every=1)
+        batch = np.random.RandomState(0).randint(
+            0, 256, size=(1, 4, 17)
+        ).astype(np.int32)
+
+        flat = make_mesh(data=4, heads=2)
+        with flat:
+            p, o, opt = make_sharded_train_state(cfg, tc, flat)
+            _, _, loss_flat = sharded_train_step(p, o, batch, cfg, opt, 1,
+                                                 flat)
+            loss_flat = float(jax.block_until_ready(loss_flat))
+
+        hier = make_hierarchical_mesh(2, 2, 2)
+        with hier:
+            p, o, opt = make_sharded_train_state(cfg, tc, hier)
+            _, _, loss_h = sharded_train_step(p, o, batch, cfg, opt, 1, hier)
+            loss_h = float(jax.block_until_ready(loss_h))
+        assert np.isfinite(loss_h)
+        np.testing.assert_allclose(loss_h, loss_flat, rtol=1e-5, atol=1e-5)
