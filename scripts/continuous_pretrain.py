@@ -52,11 +52,25 @@ def main():
                    help="PPL window (default: the model's training seq len "
                         "passed via --seq-len)")
     p.add_argument("--eval-max-tokens", type=int, default=200_000)
+    p.add_argument("--force-cpu", action="store_true",
+                   help="run the CPT on the CPU backend (f32): identical "
+                        "recipe for every model keeps the sparse-vs-full "
+                        "comparison fair when the TPU is unavailable")
+    p.add_argument("--dtype", default=None,
+                   help="override the checkpoint's compute dtype")
+    p.add_argument("--mesh", action="store_true",
+                   help="run the CPT step over a (data, heads) mesh "
+                        "(with --force-cpu: the 8 virtual CPU devices)")
     args = p.parse_args()
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     ckpt = latest_checkpoint(args.ckpt_dir)
     assert ckpt, f"no checkpoint under {args.ckpt_dir}"
     cfg = model_config_from_checkpoint(ckpt)
+    if args.dtype:
+        cfg = cfg.replace(dtype=args.dtype)
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     state, meta = restore_checkpoint(ckpt, {"params": params})
     params = state["params"]
@@ -70,8 +84,17 @@ def main():
         batch_size=args.batch_size, learning_rate=args.lr,
         seq_len=args.seq_len, grad_accum_every=1,
     )
+    mesh = None
+    if args.mesh:
+        from nsa_tpu.parallel.mesh import auto_mesh
+        from nsa_tpu.parallel.sharding import shard_params
+
+        mesh = auto_mesh(kv_heads=cfg.kv_heads)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        params = shard_params(params, mesh)
+
     optimizer = make_optimizer(train_cfg)
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
     out_dir = args.out_dir or (args.ckpt_dir.rstrip("/") + "_cpt")
     logger = MetricsLogger(csv_path=os.path.join(out_dir, "cpt_log.csv"))
 
@@ -112,6 +135,19 @@ def main():
             sample(corpus, n_mix) if n_mix else
             np.zeros((0, args.seq_len + 1), np.int32),
         ])
+        if mesh is not None:
+            from nsa_tpu.parallel.train_step import sharded_train_step
+
+            with mesh:
+                params, opt_state, loss_dev = sharded_train_step(
+                    params, opt_state, batch[None], cfg, optimizer, 1, mesh
+                )
+            if step % 20 == 0 or step == args.num_batches - 1:
+                loss = float(loss_dev)
+                logger.log(step, cpt_loss=loss)
+            if args.eval_every and (step + 1) % args.eval_every == 0:
+                eval_point(step + 1)
+            continue
         params, opt_state, loss_dev = train_step(
             params, opt_state, jnp.asarray(batch)[None], cfg, optimizer, 1
         )
