@@ -56,9 +56,22 @@ import os as _os
 # element): as an MXU batched dot it engages 2 of 8 sublane rows per pass
 # and was the single largest decode cost at 300us/layer (RESULTS r2).  The
 # VPU formulation (broadcast multiply + lane reduction over d) streams the
-# same ckv bytes through 8x128 vector ops instead.  Env-switchable for
-# on-chip A/B; default VPU.
-_VPU_SELECT = _os.environ.get("NSA_SELECT_MXU", "") == ""
+# same ckv bytes through 8x128 vector ops instead.  Opt-in via
+# NSA_SELECT_VPU=1 for on-chip A/B; default MXU (the round-2 formulation,
+# known Mosaic-legal).  Mixed int+None indexing lowers to >2-D gathers
+# Mosaic rejects, so the VPU path uses static slices only.
+_VPU_SELECT = _os.environ.get("NSA_SELECT_VPU", "") != ""
+
+
+def _hbm_spec(interpret):
+    """Unblocked spec for manually-DMA'd / aliased buffers: explicit HBM on
+    hardware (ANY lets Mosaic place small buffers in VMEM, where 1-row DMA
+    slices hit the 8-sublane tiling rule); ANY under interpret (the CPU
+    interpreter mishandles HBM-constrained aliased refs)."""
+    return pl.BlockSpec(
+        memory_space=pl.ANY if interpret else pltpu.MemorySpace.HBM
+    )
+
 
 
 def _batched_matvec_qk(q, ck):
@@ -66,19 +79,22 @@ def _batched_matvec_qk(q, ck):
     Bt, g, d = q.shape
     outs = []
     for gi in range(g):
-        prod = q[:, gi, None, :] * ck                      # [Bt, W, d]
-        outs.append(jnp.sum(prod, axis=-1))                # [Bt, W]
+        qg = jax.lax.slice_in_dim(q, gi, gi + 1, axis=1)   # [Bt, 1, d]
+        outs.append(jnp.sum(qg * ck, axis=-1))             # [Bt, W]
     return jnp.stack(outs, axis=1)                         # [Bt, g, W]
 
 
 def _batched_matvec_av(attn, cv):
-    """out[b, g, d] = sum_w attn[b, g, w] * cv[b, w, d] (sublane reduce)."""
-    Bt, g, W = attn.shape
-    outs = []
-    for gi in range(g):
-        prod = attn[:, gi, :, None] * cv                   # [Bt, W, d]
-        outs.append(jnp.sum(prod, axis=1))                 # [Bt, d]
-    return jnp.stack(outs, axis=1)                         # [Bt, g, d]
+    """out[b, g, d] = sum_w attn[b, g, w] * cv[b, w, d].
+
+    The contraction runs W (lanes of ``attn``) against W (sublanes of
+    ``cv``) — a genuine cross-layout contraction, kept on the MXU even
+    under NSA_SELECT_VPU (a VPU version needs a lane->sublane transpose
+    Mosaic has no cheap lowering for)."""
+    return jax.lax.dot_general(
+        attn, cv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
@@ -197,7 +213,7 @@ def _select_emit_kernel(
     w1k_s,          # scratch VMEM [Bc*d, hid]
     w1v_s,          # scratch VMEM [Bc*d, hid]
     w2_s,           # scratch VMEM [hid, 2d]
-    cand_s,         # scratch VMEM [Bt, 1, 2d]
+    cand_s,         # scratch VMEM [Bt, 2d]
     sems,           # DMA semaphores (4,)
     *, scale, stride, sel_block, num_sel, n_slide, max_blocks, blk_size,
 ):
@@ -269,11 +285,11 @@ def _select_emit_kernel(
             hv, w2_s[:, d:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b2_ref[0, 0, d:].astype(jnp.float32)
-        cand_s[:, 0, :d] = ck.astype(cand_s.dtype)
-        cand_s[:, 0, d:] = cv.astype(cand_s.dtype)
+        cand_s[:, :d] = ck.astype(cand_s.dtype)
+        cand_s[:, d:] = cv.astype(cand_s.dtype)
         wr = pltpu.make_async_copy(
             cand_s,
-            ckv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(slot, 1), :],
+            ckv_out.at[pl.ds(bi * Bt, Bt), hi, slot, :],
             sems.at[3],
         )
         wr.start()
@@ -357,16 +373,16 @@ def decode_select_emit(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * d), lambda hi, bi, s: (hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # w1k
-            pl.BlockSpec(memory_space=pl.ANY),     # w1v
-            pl.BlockSpec(memory_space=pl.ANY),     # w2
+            _hbm_spec(interpret),     # w1k
+            _hbm_spec(interpret),     # w1v
+            _hbm_spec(interpret),     # w2
         ],
         out_specs=(
             pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, INFO_WIDTH), lambda hi, bi, s: (bi, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # ckv (aliased)
+            _hbm_spec(interpret),     # ckv (aliased)
             pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),  # ring (aliased)
         ),
@@ -374,7 +390,7 @@ def decode_select_emit(
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((hid, 2 * d), ckv.dtype),
-            pltpu.VMEM((Bt, 1, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 2 * d), ckv.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -689,8 +705,8 @@ def decode_attend_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # ffw1
-            pl.BlockSpec(memory_space=pl.ANY),     # ffw2
+            _hbm_spec(interpret),     # ffw1
+            _hbm_spec(interpret),     # ffw2
         ]
         operands += [fnorm[None], fb1[None], fb2[None],
                      fw1.astype(wdt), fw2.astype(wdt)]
@@ -699,7 +715,7 @@ def decode_attend_fused(
             pltpu.VMEM((hid4, dim), wdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))    # kv cache
+    in_specs.append(_hbm_spec(interpret))    # kv cache
     operands.append(kv)
     kv_idx = len(operands) - 1
 
@@ -710,7 +726,7 @@ def decode_attend_fused(
         out_specs=(
             pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),     # kv (aliased)
+            _hbm_spec(interpret),     # kv (aliased)
         ),
         scratch_shapes=scratch,
     )
@@ -820,8 +836,8 @@ def _select_emit_ragged_kernel(
             hv, w2_s[:, d:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b2_ref[0, 0, d:].astype(jnp.float32)
-        cand_s[:, 0, :d] = ck.astype(cand_s.dtype)
-        cand_s[:, 0, d:] = cv.astype(cand_s.dtype)
+        cand_s[:, :d] = ck.astype(cand_s.dtype)
+        cand_s[:, d:] = cv.astype(cand_s.dtype)
         for r in range(Bt):
             row = bi * Bt + r
 
@@ -829,7 +845,7 @@ def _select_emit_ragged_kernel(
             def _write_row(r=r, row=row):
                 wr = pltpu.make_async_copy(
                     cand_s.at[r],
-                    ckv_out.at[row, hi, pl.ds(scal_ref[3, row], 1), :],
+                    ckv_out.at[row, hi, scal_ref[3, row], :],
                     sems.at[3],
                 )
                 wr.start()
@@ -905,16 +921,16 @@ def decode_select_emit_ragged(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * d), lambda hi, bi, s: (hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _hbm_spec(interpret),
+            _hbm_spec(interpret),
+            _hbm_spec(interpret),
         ],
         out_specs=(
             pl.BlockSpec((Bt, 1, g, d), lambda hi, bi, s: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bt, INFO_WIDTH), lambda hi, bi, s: (bi, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _hbm_spec(interpret),
             pl.BlockSpec((Bt, 1, Bc, 2 * d), lambda hi, bi, s: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -922,7 +938,7 @@ def decode_select_emit_ragged(
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((hid, 2 * d), ckv.dtype),
-            pltpu.VMEM((Bt, 1, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 2 * d), ckv.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -1138,8 +1154,8 @@ def decode_attend_fused_ragged(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda bi, hi, s, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _hbm_spec(interpret),
+            _hbm_spec(interpret),
         ]
         operands += [fnorm[None], fb1[None], fb2[None],
                      fw1.astype(wdt), fw2.astype(wdt)]
@@ -1148,7 +1164,7 @@ def decode_attend_fused_ragged(
             pltpu.VMEM((hid4, dim), wdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    in_specs.append(_hbm_spec(interpret))
     operands.append(kv)
     kv_idx = len(operands) - 1
 
@@ -1159,7 +1175,7 @@ def decode_attend_fused_ragged(
         out_specs=(
             pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _hbm_spec(interpret),
         ),
         scratch_shapes=scratch,
     )

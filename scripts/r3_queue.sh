@@ -24,7 +24,7 @@ stage bs64_fused python -u scripts/profile_bs.py --batch 64 --paths pallas,full 
 # A/B: round-2 kernel path and MXU select
 stage bs1_r2path env NSA_NO_FUSED_DECODE=1 python -u scripts/profile_bs.py --batch 1 --paths pallas --gen 50
 stage bs64_r2path env NSA_NO_FUSED_DECODE=1 python -u scripts/profile_bs.py --batch 64 --paths pallas --gen 50
-stage bs64_mxusel env NSA_SELECT_MXU=1 python -u scripts/profile_bs.py --batch 64 --paths pallas --gen 50
+stage bs64_vpusel env NSA_SELECT_VPU=1 python -u scripts/profile_bs.py --batch 64 --paths pallas --gen 50
 stage bs1_noff env NSA_NO_FF_FUSE=1 python -u scripts/profile_bs.py --batch 1 --paths pallas --gen 50
 
 # -- headline bench -------------------------------------------------------
