@@ -214,6 +214,7 @@ def _select_emit_kernel(
     w1v_s,          # scratch VMEM [Bc*d, hid]
     w2_s,           # scratch VMEM [hid, 2d]
     cand_s,         # scratch VMEM [Bt, 2d]
+    win_s,          # scratch VMEM [Bt, 8, 2d] (aligned ckv RMW window)
     sems,           # DMA semaphores (4,)
     *, scale, stride, sel_block, num_sel, n_slide, max_blocks, blk_size,
 ):
@@ -287,9 +288,26 @@ def _select_emit_kernel(
         ) + b2_ref[0, 0, d:].astype(jnp.float32)
         cand_s[:, :d] = ck.astype(cand_s.dtype)
         cand_s[:, d:] = cv.astype(cand_s.dtype)
+        # The slot dim of the HBM ckv cache is 8-sublane tiled: a 1-row DMA
+        # slice is Mosaic-illegal ("slice shape must be aligned to tiling").
+        # Read-modify-write the 8-row aligned window containing ``slot``
+        # instead; rows above ``slot`` are future emissions (never read
+        # while masked) and rows below hold history (preserved by the RMW).
+        Wc = ckv_ref.shape[2]
+        base = pl.multiple_of(jnp.minimum((slot // 8) * 8, Wc - 8), 8)
+        roff = slot - base
+        rd = pltpu.make_async_copy(
+            ckv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :],
+            win_s, sems.at[3],
+        )
+        rd.start()
+        rd.wait()
+        ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+        for r in range(Bt):
+            win_s[r] = jnp.where(ri == roff, cand_s[r:r + 1, :], win_s[r])
         wr = pltpu.make_async_copy(
-            cand_s,
-            ckv_out.at[pl.ds(bi * Bt, Bt), hi, slot, :],
+            win_s,
+            ckv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :],
             sems.at[3],
         )
         wr.start()
@@ -391,6 +409,7 @@ def decode_select_emit(
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((hid, 2 * d), ckv.dtype),
             pltpu.VMEM((Bt, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 8, 2 * d), ckv.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -521,15 +540,17 @@ def _attend_fused_kernel(
     # operand layout depends on the static with_ff flag:
     #   with_ff: ffnorm [1,dim], ffb1 [1,hid4], ffb2 [1,dim],
     #            ffw1 ANY [dim,hid4], ffw2 ANY [hid4,dim], kv ANY,
-    #            out, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems
-    #   else:    kv ANY, out, kv_out, fkv_s, wsem, gsems
+    #            out, kv_out, fkv_s, win_s, wsem, gsems, ffw1_s, ffw2_s,
+    #            fsems
+    #   else:    kv ANY, out, kv_out, fkv_s, win_s, wsem, gsems
     scale, sel_block, window, num_sel, n_slide, with_ff, eps,
 ):
     if with_ff:
         (ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_hbm, ffw2_hbm, kv_hbm,
-         out_ref, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems) = rest
+         out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems, ffw1_s,
+         ffw2_s, fsems) = rest
     else:
-        (kv_hbm, out_ref, kv_out, fkv_s, wsem, gsems) = rest
+        (kv_hbm, out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems) = rest
     t = scal_ref[0]
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -548,12 +569,25 @@ def _attend_fused_kernel(
     max_blocks = kv_hbm.shape[2] // Bs
 
     # ---- write the new token's kv row into the cache ---------------------
+    # The row dim is 8-sublane tiled (1-row DMA slices are Mosaic-illegal):
+    # read-modify-write the aligned 8-row window containing ``t``.  Rows
+    # past ``t`` are masked out of every softmax downstream, so preserving
+    # their (stale) contents is safe.  The RMW completes before any gather
+    # below, so the diagonal-block read sees the new row.
+    base = pl.multiple_of(jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
+    roff = t - base
+    rd = pltpu.make_async_copy(
+        kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :], win_s, wsem)
+    rd.start()
+    rd.wait()
+    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    for r in range(Bt):
+        win_s[r] = jnp.where(ri == roff, newv[r:r + 1, :], win_s[r])
     wr = pltpu.make_async_copy(
-        kvnew_ref.at[:, 0],
-        kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(t, 1), :],
-        wsem,
-    )
+        win_s, kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :], wsem)
     wr.start()
+    wr.wait()
 
     # ---- gather the selected blocks (per-row indices) --------------------
     pending = []
@@ -581,9 +615,8 @@ def _attend_fused_kernel(
         )
         cp.start()
         pending.append(cp)
-    # the diagonal block contains the row this kernel just wrote: wait for
-    # the write, then read it back so the current token attends to itself
-    wr.wait()
+    # the diagonal block contains the row the RMW above already committed:
+    # read it back so the current token attends to itself
     diag = jnp.clip(last_blk, 0, max_blocks - 1)
     cp = pltpu.make_async_copy(
         kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(diag * Bs, Bs), :],
@@ -603,11 +636,18 @@ def _attend_fused_kernel(
     )                                                      # [Bt, g, d] f32
 
     # ---- output projection, accumulated across the head grid -------------
-    flat = combined.reshape(Bt, g * d).astype(wout_ref.dtype)
-    part = jax.lax.dot_general(
-        flat, wout_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                      # [Bt, dim]
+    # contract over (g, d) without a lane-crossing reshape or a batched
+    # matmul (Mosaic wants batch dims co-located): park combined in VMEM
+    # and accumulate g plain 2-D matmuls via ref-collapse slices
+    comb_s[...] = combined.astype(comb_s.dtype)
+    part = None
+    for gi in range(g):
+        pg = jax.lax.dot_general(
+            comb_s[:, gi, :], wout_ref[0, gi],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [Bt, dim]
+        part = pg if part is None else part + pg                                                      # [Bt, dim]
 
     @pl.when(hi == 0)
     def _init():
@@ -670,7 +710,7 @@ def decode_attend_fused(
     scal = t.astype(jnp.int32)[None]
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
     gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
-    wout3 = w_out.reshape(kvh, g * d, dim)
+    wout3 = w_out.reshape(kvh, g, d, dim)
 
     in_specs = [
         pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
@@ -685,12 +725,14 @@ def decode_attend_fused(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+        pl.BlockSpec((1, g, d, dim), lambda bi, hi, s, i: (hi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [scal, idx, rq, kv_new, info, c_out, gates_bc, x, wout3]
     scratch = [
         pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+        pltpu.VMEM((Bt, 8, 2 * d), kv.dtype),
+        pltpu.VMEM((Bt, g, d), kv.dtype),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA((n_slots,)),
     ]
@@ -771,7 +813,7 @@ def _select_emit_ragged_kernel(
     b2_ref,         # [1, 1, 2d]
     w1k_hbm, w1v_hbm, w2_hbm,   # ANY
     cout_ref, info_ref, ckv_out, ring_out,
-    w1k_s, w1v_s, w2_s, cand_s, sems,
+    w1k_s, w1v_s, w2_s, cand_s, win_s, sems,
     *, scale, stride, sel_block, num_sel, n_slide, max_blocks,
 ):
     emit_any = scal_ref[4, 0]
@@ -838,14 +880,28 @@ def _select_emit_ragged_kernel(
         ) + b2_ref[0, 0, d:].astype(jnp.float32)
         cand_s[:, :d] = ck.astype(cand_s.dtype)
         cand_s[:, d:] = cv.astype(cand_s.dtype)
+        # per-row aligned RMW (see the scalar kernel): the slot dim is
+        # 8-sublane tiled, so single-row DMA slices are Mosaic-illegal
+        Wc = ckv_ref.shape[2]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
         for r in range(Bt):
             row = bi * Bt + r
 
             @pl.when(scal_ref[2, row] == 1)
             def _write_row(r=r, row=row):
+                slot_r = scal_ref[3, row]
+                base = pl.multiple_of(jnp.minimum((slot_r // 8) * 8, Wc - 8), 8)
+                rd = pltpu.make_async_copy(
+                    ckv_out.at[row, hi, pl.ds(base, 8), :],
+                    win_s.at[r], sems.at[3],
+                )
+                rd.start()
+                rd.wait()
+                win_s[r] = jnp.where(
+                    ri == slot_r - base, cand_s[r:r + 1, :], win_s[r])
                 wr = pltpu.make_async_copy(
-                    cand_s.at[r],
-                    ckv_out.at[row, hi, scal_ref[3, row], :],
+                    win_s.at[r],
+                    ckv_out.at[row, hi, pl.ds(base, 8), :],
                     sems.at[3],
                 )
                 wr.start()
@@ -939,6 +995,7 @@ def decode_select_emit_ragged(
             pltpu.VMEM((Bc * d, hid), ckv.dtype),
             pltpu.VMEM((hid, 2 * d), ckv.dtype),
             pltpu.VMEM((Bt, 2 * d), ckv.dtype),
+            pltpu.VMEM((Bt, 8, 2 * d), ckv.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -981,9 +1038,10 @@ def _attend_fused_ragged_kernel(
 ):
     if with_ff:
         (ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_hbm, ffw2_hbm, kv_hbm,
-         out_ref, kv_out, fkv_s, wsem, gsems, ffw1_s, ffw2_s, fsems) = rest
+         out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems, ffw1_s,
+         ffw2_s, fsems) = rest
     else:
-        (kv_hbm, out_ref, kv_out, fkv_s, wsem, gsems) = rest
+        (kv_hbm, out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems) = rest
     bi = pl.program_id(0)
     hi = pl.program_id(1)
 
@@ -997,17 +1055,25 @@ def _attend_fused_ragged_kernel(
     n_slots = num_sel + n_slide
     max_blocks = kv_hbm.shape[2] // Bs
 
-    # ---- per-row cache writes (wait before the diagonal reads) -----------
-    writes = []
+    # ---- per-row cache writes (aligned RMW; complete before any gather) --
+    # Each row's position dim is 8-sublane tiled: single-row DMA slices are
+    # Mosaic-illegal, so merge the new row into its aligned 8-row window.
+    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
+    d2 = newv.shape[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, d2), 0)
     for r in range(Bt):
         row = bi * Bt + r
+        t_r = scal_ref[row]
+        base = pl.multiple_of(jnp.minimum((t_r // 8) * 8, max_blocks * Bs - 8), 8)
+        rd = pltpu.make_async_copy(
+            kv_out.at[row, hi, pl.ds(base, 8), :], win_s.at[r], wsem)
+        rd.start()
+        rd.wait()
+        win_s[r] = jnp.where(ri == t_r - base, newv[r:r + 1, :], win_s[r])
         wr = pltpu.make_async_copy(
-            kvnew_ref.at[r, 0],
-            kv_out.at[row, hi, pl.ds(scal_ref[row], 1), :],
-            wsem,
-        )
+            win_s.at[r], kv_out.at[row, hi, pl.ds(base, 8), :], wsem)
         wr.start()
-        writes.append(wr)
+        wr.wait()
 
     pending = []
     for r in range(Bt):
@@ -1032,9 +1098,7 @@ def _attend_fused_ragged_kernel(
             )
             cp.start()
             pending.append(cp)
-    for wr in writes:
-        wr.wait()
-    # diagonal blocks: contain the rows written above
+    # diagonal blocks: contain the rows the RMW above already committed
     for r in range(Bt):
         row = bi * Bt + r
         diag = jnp.clip(scal_ref[row] // Bs, 0, max_blocks - 1)
@@ -1054,11 +1118,18 @@ def _attend_fused_ragged_kernel(
         num_sel=num_sel, n_slide=n_slide,
     )
 
-    flat = combined.reshape(Bt, g * d).astype(wout_ref.dtype)
-    part = jax.lax.dot_general(
-        flat, wout_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # contract over (g, d) without a lane-crossing reshape or a batched
+    # matmul (Mosaic wants batch dims co-located): park combined in VMEM
+    # and accumulate g plain 2-D matmuls via ref-collapse slices
+    comb_s[...] = combined.astype(comb_s.dtype)
+    part = None
+    for gi in range(g):
+        pg = jax.lax.dot_general(
+            comb_s[:, gi, :], wout_ref[0, gi],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [Bt, dim]
+        part = pg if part is None else part + pg
 
     @pl.when(hi == 0)
     def _init():
@@ -1117,7 +1188,7 @@ def decode_attend_fused_ragged(
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
     tn = jnp.stack([tarr, tarr], axis=1)                   # [b, 2] VMEM view
     gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
-    wout3 = w_out.reshape(kvh, g * d, dim)
+    wout3 = w_out.reshape(kvh, g, d, dim)
 
     in_specs = [
         pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
@@ -1134,12 +1205,14 @@ def decode_attend_fused_ragged(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g * d, dim), lambda bi, hi, s, i: (hi, 0, 0),
+        pl.BlockSpec((1, g, d, dim), lambda bi, hi, s, i: (hi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [tarr, idx, rq, tn, kv_new, info, c_out, gates_bc, x, wout3]
     scratch = [
         pltpu.VMEM((Bt, J, 2 * d), kv.dtype),
+        pltpu.VMEM((Bt, 8, 2 * d), kv.dtype),
+        pltpu.VMEM((Bt, g, d), kv.dtype),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA((n_slots,)),
     ]
