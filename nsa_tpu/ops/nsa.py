@@ -36,6 +36,7 @@ instead of O(seq).
 
 from __future__ import annotations
 
+import math
 import os
 from typing import NamedTuple, Optional, Tuple
 
@@ -96,6 +97,24 @@ class NSADecodeCache(NamedTuple):
     kv: jnp.ndarray      # [b, kvh, max_len, 2d]     rotated k ++ v
     ckv: jnp.ndarray     # [b, kvh, max_cblocks, 2d] compressed k ++ v
     ring: jnp.ndarray    # [b, kvh, Bc, 2d]          last Bc unrotated k ++ v
+
+
+def _ckv_width(max_len: int, stride: int, npf: int) -> int:
+    """Width of the compressed-KV cache's slot dim.
+
+    ``max_len // stride`` data rows plus spare rows — the LAST spare row is
+    the XLA decode path's trash slot (non-emission steps write their
+    discarded candidate there).  The width is rounded up to a multiple of
+    BOTH ``num_compress_per_fine`` (the selection regroup pools npf
+    compressed blocks per fine block, so the width must divide evenly) and
+    8 (the fused decode kernels update emission slots through an aligned
+    8-row DMA window; ``pl.multiple_of`` on the window base is only honest
+    for every reachable slot when the width itself is 8-aligned —
+    ADVICE r3 #1).  Rows past ``num_cb`` are masked out of the compressed
+    softmax and never selected, so extra spare rows are semantics-free."""
+    npf = max(npf, 1)
+    unit = npf * 8 // math.gcd(npf, 8)
+    return round_up_mult(max_len // stride + npf, unit)
 
 
 def init_sparse_attention(key: jax.Array, cfg: ModelConfig) -> dict:
@@ -339,8 +358,9 @@ def sparse_attention_forward(
 
     # ---- build the decode cache (prefill) --------------------------------
     max_len = return_cache_max_len
-    assert max_len >= n and max_len % stride == 0
-    max_cb = max_len // stride
+    # % 8: the fused decode kernels write the new token's row through an
+    # aligned 8-row DMA window (ADVICE r3 #3)
+    assert max_len >= n and max_len % stride == 0 and max_len % 8 == 0
     overlap = nsa.compress_overlap_len
     Bc = nsa.compress_block_size
 
@@ -372,12 +392,10 @@ def sparse_attention_forward(
             ring = jnp.take_along_axis(
                 kv_unrot, pos[:, None, :, None], axis=2,
             )
-    spare = max(nsa.num_compress_per_fine, 1)
+    wc = _ckv_width(max_len, stride, nsa.num_compress_per_fine)
     cache = NSADecodeCache(
         kv=jnp.concatenate([pad_to(rk, max_len), pad_to(v, max_len)], axis=-1),
-        ckv=jnp.concatenate(
-            [pad_to(ck, max_cb + spare), pad_to(cv, max_cb + spare)], axis=-1
-        ),
+        ckv=jnp.concatenate([pad_to(ck, wc), pad_to(cv, wc)], axis=-1),
         ring=ring,
     )
     return out, cache
@@ -389,15 +407,15 @@ def init_decode_cache(
     """Empty per-layer cache for decode-from-scratch."""
     nsa = cfg.nsa
     d, kvh = cfg.dim_head, cfg.kv_heads
-    assert max_len % nsa.compress_block_sliding_stride == 0
-    max_cb = max_len // nsa.compress_block_sliding_stride
+    stride = nsa.compress_block_sliding_stride
+    # % 8: the fused decode kernels write rows through aligned 8-row DMA
+    # windows (kv AND ckv — see _ckv_width)
+    assert max_len % stride == 0 and max_len % 8 == 0
     z = lambda s: jnp.zeros((batch, kvh, s, 2 * d), dtype)
-    # ckv gets num_compress_per_fine spare rows: the last row is the
-    # decode emission's trash slot, and the spare keeps the width a
-    # multiple of num_compress_per_fine for the selection pooling
-    spare = max(nsa.num_compress_per_fine, 1)
     return NSADecodeCache(
-        kv=z(max_len), ckv=z(max_cb + spare), ring=z(nsa.compress_block_size),
+        kv=z(max_len),
+        ckv=z(_ckv_width(max_len, stride, nsa.num_compress_per_fine)),
+        ring=z(nsa.compress_block_size),
     )
 
 

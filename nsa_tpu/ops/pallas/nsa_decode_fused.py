@@ -293,6 +293,8 @@ def _select_emit_kernel(
         # Read-modify-write the 8-row aligned window containing ``slot``
         # instead; rows above ``slot`` are future emissions (never read
         # while masked) and rows below hold history (preserved by the RMW).
+        # _ckv_width pads Wc to a multiple of 8, so Wc-8 is aligned and the
+        # multiple_of hint stays honest even if the clamp ever engages.
         Wc = ckv_ref.shape[2]
         base = pl.multiple_of(jnp.minimum((slot // 8) * 8, Wc - 8), 8)
         roff = slot - base
@@ -502,13 +504,36 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
             + gts[:, :, 2 * d:] * s_out)                   # [Bt, g, d]
 
 
+def _erf_f32(x):
+    """erf via the Abramowitz–Stegun 7.1.26 polynomial (|err| < 1.5e-7).
+
+    Mosaic has NO erf/erfc lowering (only erf_inv), so
+    ``jax.nn.gelu(approximate=False)`` — which JAX lowers through
+    ``lax.erfc`` — fails TPU compilation inside a kernel.  The polynomial
+    error is ~1 f32 ulp and far below bf16 resolution, so the decode
+    equivalence tests' 2e-4 tolerances hold."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(h):
+    """Exact GELU 0.5*x*(1+erf(x/sqrt(2))) in f32, rounded to h.dtype."""
+    hf = h.astype(jnp.float32)
+    out = 0.5 * hf * (1.0 + _erf_f32(hf * 0.7071067811865476))
+    return out.astype(h.dtype)
+
+
 def _ff_tail(y32, resid_dtype, ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_s,
              ffw2_s, *, eps):
     """Feed-forward block over the accumulated residual stream, matching
     models.transformer._ff_apply (gelu kind) op-for-op: the stream is
     cast to the model dtype first (the model adds attn in that dtype),
     RMSNorm runs in f32, the two matmuls round to the model dtype before
-    their bias adds, gelu is exact."""
+    their bias adds, gelu is exact (via the in-kernel erf polynomial)."""
     y16 = y32.astype(resid_dtype)                          # [Bt, dim]
     yf = y16.astype(jnp.float32)
     var = jnp.mean(yf * yf, axis=-1, keepdims=True)
@@ -518,7 +543,7 @@ def _ff_tail(y32, resid_dtype, ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_s,
         normed, ffw1_s[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(resid_dtype) + ffb1_ref[0].astype(resid_dtype)
-    h = jax.nn.gelu(h, approximate=False)
+    h = _gelu_exact(h)
     o = jax.lax.dot_general(
         h, ffw2_s[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -535,14 +560,14 @@ def _attend_fused_kernel(
     cout_ref,       # [Bt, 1, g, d] branch-1 output
     gates_ref,      # [Bt, 1, g, 3d]
     resid_ref,      # [Bt, 1, dim] residual-stream input x
-    wout_ref,       # [1, g*d, dim] this head's slice of w_out
+    wout_ref,       # [1, g, d, dim] this head's slice of w_out
     *rest,
     # operand layout depends on the static with_ff flag:
     #   with_ff: ffnorm [1,dim], ffb1 [1,hid4], ffb2 [1,dim],
     #            ffw1 ANY [dim,hid4], ffw2 ANY [hid4,dim], kv ANY,
-    #            out, kv_out, fkv_s, win_s, wsem, gsems, ffw1_s, ffw2_s,
-    #            fsems
-    #   else:    kv ANY, out, kv_out, fkv_s, win_s, wsem, gsems
+    #            out, kv_out, fkv_s, win_s, comb_s, wsem, gsems, ffw1_s,
+    #            ffw2_s, fsems
+    #   else:    kv ANY, out, kv_out, fkv_s, win_s, comb_s, wsem, gsems
     scale, sel_block, window, num_sel, n_slide, with_ff, eps,
 ):
     if with_ff:
@@ -568,28 +593,22 @@ def _attend_fused_kernel(
     n_slots = num_sel + n_slide
     max_blocks = kv_hbm.shape[2] // Bs
 
-    # ---- write the new token's kv row into the cache ---------------------
-    # The row dim is 8-sublane tiled (1-row DMA slices are Mosaic-illegal):
-    # read-modify-write the aligned 8-row window containing ``t``.  Rows
-    # past ``t`` are masked out of every softmax downstream, so preserving
-    # their (stale) contents is safe.  The RMW completes before any gather
-    # below, so the diagonal-block read sees the new row.
+    # ---- start the RMW read + all non-diagonal gathers up front ----------
+    # The new token's row lands in the aligned 8-row window containing
+    # ``t`` (the row dim is 8-sublane tiled; 1-row DMA slices are
+    # Mosaic-illegal).  Only the DIAGONAL block read must order after the
+    # window write: selected blocks never include the diagonal (its
+    # importance score is masked NEG before top-k) and trailing blocks sit
+    # strictly below it, so those gathers overlap the RMW round-trip
+    # (ADVICE r3 #5).  Early-sequence clipped trailing reads can touch
+    # block 0 while the write is in flight, but every such row is masked
+    # out of both softmaxes downstream, so torn data is value-free.
     base = pl.multiple_of(jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
     roff = t - base
     rd = pltpu.make_async_copy(
         kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :], win_s, wsem)
     rd.start()
-    rd.wait()
-    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
-    for r in range(Bt):
-        win_s[r] = jnp.where(ri == roff, newv[r:r + 1, :], win_s[r])
-    wr = pltpu.make_async_copy(
-        win_s, kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :], wsem)
-    wr.start()
-    wr.wait()
 
-    # ---- gather the selected blocks (per-row indices) --------------------
     pending = []
     for r in range(Bt):
         for s in range(num_sel):
@@ -601,10 +620,8 @@ def _attend_fused_kernel(
             )
             cp.start()
             pending.append(cp)
-
-    # ---- gather the trailing-window blocks (shared indices) --------------
-    # blocks before the sequence start are clipped to 0 and masked out of
-    # both branch softmaxes downstream, so their contents never matter
+    # trailing-window blocks (shared indices); blocks before the sequence
+    # start are clipped to 0 and masked downstream
     last_blk = t // Bs
     for j in range(n_slide - 1):
         blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
@@ -615,7 +632,19 @@ def _attend_fused_kernel(
         )
         cp.start()
         pending.append(cp)
-    # the diagonal block contains the row the RMW above already committed:
+
+    # ---- commit the new token's row (read-modify-write) ------------------
+    rd.wait()
+    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    for r in range(Bt):
+        win_s[r] = jnp.where(ri == roff, newv[r:r + 1, :], win_s[r])
+    wr = pltpu.make_async_copy(
+        win_s, kv_out.at[pl.ds(bi * Bt, Bt), hi, pl.ds(base, 8), :], wsem)
+    wr.start()
+    wr.wait()
+
+    # the diagonal block contains the row the RMW above just committed:
     # read it back so the current token attends to itself
     diag = jnp.clip(last_blk, 0, max_blocks - 1)
     cp = pltpu.make_async_copy(
@@ -647,7 +676,7 @@ def _attend_fused_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [Bt, dim]
-        part = pg if part is None else part + pg                                                      # [Bt, dim]
+        part = pg if part is None else part + pg           # [Bt, dim]
 
     @pl.when(hi == 0)
     def _init():
@@ -1032,7 +1061,7 @@ def _attend_fused_ragged_kernel(
     cout_ref,       # [Bt, 1, g, d]
     gates_ref,      # [Bt, 1, g, 3d]
     resid_ref,      # [Bt, 1, dim]
-    wout_ref,       # [1, g*d, dim]
+    wout_ref,       # [1, g, d, dim]
     *rest,          # (+ optional FF operands; see _attend_fused_kernel)
     scale, sel_block, window, num_sel, n_slide, with_ff, eps,
 ):
@@ -1055,26 +1084,10 @@ def _attend_fused_ragged_kernel(
     n_slots = num_sel + n_slide
     max_blocks = kv_hbm.shape[2] // Bs
 
-    # ---- per-row cache writes (aligned RMW; complete before any gather) --
-    # Each row's position dim is 8-sublane tiled: single-row DMA slices are
-    # Mosaic-illegal, so merge the new row into its aligned 8-row window.
-    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
-    d2 = newv.shape[1]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (8, d2), 0)
-    for r in range(Bt):
-        row = bi * Bt + r
-        t_r = scal_ref[row]
-        base = pl.multiple_of(jnp.minimum((t_r // 8) * 8, max_blocks * Bs - 8), 8)
-        rd = pltpu.make_async_copy(
-            kv_out.at[row, hi, pl.ds(base, 8), :], win_s.at[r], wsem)
-        rd.start()
-        rd.wait()
-        win_s[r] = jnp.where(ri == t_r - base, newv[r:r + 1, :], win_s[r])
-        wr = pltpu.make_async_copy(
-            win_s.at[r], kv_out.at[row, hi, pl.ds(base, 8), :], wsem)
-        wr.start()
-        wr.wait()
-
+    # ---- start all non-diagonal gathers, then the per-row RMWs -----------
+    # Selected blocks never include the diagonal and trailing blocks sit
+    # strictly below it, so these gathers overlap the serialized per-row
+    # cache RMWs below (see the scalar kernel's ordering note).
     pending = []
     for r in range(Bt):
         row = bi * Bt + r
@@ -1098,6 +1111,27 @@ def _attend_fused_ragged_kernel(
             )
             cp.start()
             pending.append(cp)
+
+    # ---- per-row cache writes (aligned RMW) ------------------------------
+    # Each row's position dim is 8-sublane tiled: single-row DMA slices are
+    # Mosaic-illegal, so merge the new row into its aligned 8-row window.
+    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
+    d2 = newv.shape[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, d2), 0)
+    for r in range(Bt):
+        row = bi * Bt + r
+        t_r = scal_ref[row]
+        base = pl.multiple_of(jnp.minimum((t_r // 8) * 8, max_blocks * Bs - 8), 8)
+        rd = pltpu.make_async_copy(
+            kv_out.at[row, hi, pl.ds(base, 8), :], win_s.at[r], wsem)
+        rd.start()
+        rd.wait()
+        win_s[r] = jnp.where(ri == t_r - base, newv[r:r + 1, :], win_s[r])
+        wr = pltpu.make_async_copy(
+            win_s.at[r], kv_out.at[row, hi, pl.ds(base, 8), :], wsem)
+        wr.start()
+        wr.wait()
+
     # diagonal blocks: contain the rows the RMW above already committed
     for r in range(Bt):
         row = bi * Bt + r

@@ -22,7 +22,7 @@ import numpy as np
 
 from nsa_tpu.config import reference_model_config
 from nsa_tpu.models.transformer import init_transformer
-from nsa_tpu.ops.nsa import _compress_kv, init_decode_cache
+from nsa_tpu.ops.nsa import _compress_kv, _ff_apply_gelu, init_decode_cache
 from nsa_tpu.ops.attention import gather_blocks
 from nsa_tpu.ops.pallas.nsa_decode import decode_attend, decode_select
 from nsa_tpu.ops.pallas.nsa_decode_fused import (
@@ -141,6 +141,27 @@ def main():
                      - out_r2.astype(np.float32)).max()
     print(f"B: kv_err={err_kv} out_err={err_out}", flush=True)
 
+    # ---- with_ff variant: THE path bench.py runs (in-kernel FF tail) -----
+    # round-3 shipped an unsmoked with_ff kernel and the bench died on a
+    # Mosaic-illegal erfc (exact GELU); this section exists so that class
+    # of failure is caught here first.
+    ffp = jax.tree_util.tree_map(
+        lambda a: a.astype(DT), params["layers"][0]["ff"]
+    )
+    ff_tuple = (ffp["norm_scale"], ffp["w1"], ffp["b1"], ffp["w2"], ffp["b2"])
+    out_r2_dev = jnp.asarray(out_r2).astype(DT)
+    out_ff_r2 = np.asarray(
+        out_r2_dev + _ff_apply_gelu(ffp, cfg, out_r2_dev)
+    ).astype(np.float32)
+    out_ffk, _ = decode_attend_fused(
+        rq, kv, kv_new_rot[:, :, None], info_f, c_out_f, gates, x,
+        layer["w_out"], t, ff_tuple, sel_block=Bs, window=window,
+        num_sel=S_k, n_slide=n_slide, scale=scale, batch_tile=8,
+        eps=cfg.norm_eps)
+    err_ff = np.abs(np.asarray(out_ffk).astype(np.float32)
+                    - out_ff_r2).max()
+    print(f"B+FF: out_err={err_ff}", flush=True)
+
     # ---- ragged variants (mixed per-row positions) -----------------------
     tv = jnp.asarray(
         [t_val - (i % 3) * 5 for i in range(b)], jnp.int32
@@ -167,8 +188,24 @@ def main():
     )
     print(f"ragged rows-at-same-t vs scalar fused: max_err={err_rag}",
           flush=True)
+
+    # ---- ragged with_ff (the serving engine's default path) --------------
+    out_gf, _ = decode_attend_fused_ragged(
+        rq, kv, kv_new_rot[:, :, None], info_g, c_out_g, gates, x,
+        layer["w_out"], tv, ff_tuple, sel_block=Bs, window=window,
+        num_sel=S_k, n_slide=n_slide, scale=scale, batch_tile=8,
+        eps=cfg.norm_eps)
+    err_rag_ff = max(
+        np.abs(np.asarray(out_gf[i]).astype(np.float32)
+               - np.asarray(out_ffk[i]).astype(np.float32)).max()
+        for i in same_rows
+    )
+    print(f"ragged+FF rows-at-same-t vs scalar fused+FF: "
+          f"max_err={err_rag_ff}", flush=True)
+
     ok = (err_ring == 0 and err_ckv < 2e-2 and err_cout < 2e-2
-          and info_eq and err_kv == 0 and err_out < 5e-2 and err_rag < 5e-2)
+          and info_eq and err_kv == 0 and err_out < 5e-2 and err_rag < 5e-2
+          and err_ff < 1e-1 and err_rag_ff < 5e-2)
     print("SMOKE", "PASS" if ok else "FAIL", flush=True)
 
 
