@@ -47,9 +47,11 @@ def _load_trained(name: str, cfg):
         if ckpt:
             state, _ = restore_checkpoint(ckpt, {"params": params})
             print(f"# {name}: loaded {ckpt}", file=sys.stderr)
-            return state["params"]
-    print(f"# {name}: no checkpoint found, random init", file=sys.stderr)
-    return params
+            return state["params"], "trained"
+    print(f"# {name}: WARNING no checkpoint found, RANDOM INIT — selection "
+          "distribution is untrained; retrain with scripts/pretrain.py",
+          file=sys.stderr)
+    return params, "random"
 
 
 def main():
@@ -57,6 +59,7 @@ def main():
     batch, prompt, gen = (8, 500, 20) if quick else (BATCH, PROMPT, GEN)
 
     results = {}
+    weights = {}
     for name, sparse in [("sparse_mlp", True), ("full_attn", False)]:
         cfg = reference_model_config(
             compressor="mlp", use_sparse_attn=sparse,
@@ -64,7 +67,7 @@ def main():
             dtype="bfloat16", attn_chunk_size=128,
             attn_impl="pallas" if sparse else "xla",
         )
-        params = _load_trained(name, cfg)
+        params, weights[name] = _load_trained(name, cfg)
         if cfg.dtype == "bfloat16":
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), params
@@ -83,6 +86,8 @@ def main():
         "vs_baseline": round(sparse_tps / REFERENCE_SPARSE_DECODE_TPS, 3),
         "full_attn_tokens_per_s": round(full_tps, 1),
         "sparse_over_full": round(sparse_tps / full_tps, 3),
+        "weights": ("trained" if all(w == "trained" for w in weights.values())
+                    else "random"),
     }))
 
 

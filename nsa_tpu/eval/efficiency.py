@@ -30,7 +30,7 @@ from ..models.transformer import (
     transformer_forward,
     transformer_prefill,
 )
-from ..ops.common import round_up_mult
+from ..ops.common import lazy_jit, round_up_mult
 from ..utils.metrics import CSVLogger
 
 
@@ -79,7 +79,7 @@ def measure_prefill(params, cfg: ModelConfig, batch_size: int, prompt_len: int,
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
     # params as jit ARGUMENTS: closed-over arrays become HLO constants and
     # can exceed the remote-compile request size limit (HTTP 413)
-    fwd = jax.jit(lambda p, i: transformer_forward(p, cfg, i))
+    fwd = lazy_jit(lambda p, i: transformer_forward(p, cfg, i))
     dt = _time_fn(fwd, params, ids, iters=iters, vary=1)
     return batch_size * prompt_len / dt
 
@@ -96,13 +96,13 @@ def measure_decode(
     max_len = round_up_mult(prompt_len + gen_len + 1, blk)
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
 
-    prefill = jax.jit(
+    prefill = lazy_jit(
         lambda p, i: transformer_prefill(p, cfg, i, max_len)
     )
     logits, cache = jax.block_until_ready(prefill(params, ids))
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
-    @jax.jit
+    @lazy_jit
     def decode_scan(p, first, cache):
         def step(carry, _):
             tok, cache = carry
@@ -152,7 +152,7 @@ def run_efficiency_sweep(
     rows = []
 
     for bs in batch_sizes:
-        @jax.jit
+        @lazy_jit
         def prefill_first(p, ids, tl):
             logits, cache = transformer_prefill(
                 p, cfg, ids, max_len, true_len=tl
@@ -160,7 +160,7 @@ def run_efficiency_sweep(
             last = logits[jnp.arange(ids.shape[0]), tl - 1]
             return jnp.argmax(last, -1).astype(jnp.int32), cache
 
-        @jax.jit
+        @lazy_jit
         def decode_scan(p, first, cache):
             def step_fn(carry, _):
                 tok, cache = carry

@@ -86,6 +86,20 @@ def greedy_generate_fixed(
     return buf[n0:n]
 
 
+def wilson_interval(correct: int, n: int, z: float = 1.96) -> Tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion — the honest
+    error bar for small eval sets (84 CS441 questions); the reference
+    reports bare accuracy with no interval
+    (evaluate_sparse_attention_finetune.py:129-160)."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = correct / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
 def evaluate_qa_accuracy(
     adapters,
     teacher_params,
@@ -138,11 +152,13 @@ def evaluate_qa_accuracy(
     n = len(results)
     out = {
         "accuracy": correct / max(n, 1),
+        "accuracy_ci95": wilson_interval(correct, n),
         "num_samples": n,
         "results": results,
     }
     if compare_base is not None:
         out["base_accuracy"] = base_correct / max(n, 1)
+        out["base_accuracy_ci95"] = wilson_interval(base_correct, n)
     if json_path:
         os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
         with open(json_path, "w") as f:

@@ -14,6 +14,7 @@ Output rows use the same CSV schema as the reference
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -109,7 +110,9 @@ def compute_ppl_incremental(
 
     stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
     blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1)
-    max_len = round_up_mult(win, blk)
+    # % 8: decode caches require 8-aligned max_len (aligned kv-row DMA
+    # windows in the fused kernels — see sparse_attention_forward)
+    max_len = round_up_mult(win, math.lcm(blk, 8))
 
     step = jax.jit(lambda tok, c: transformer_decode_step(params, cfg, tok, c))
 

@@ -357,7 +357,7 @@ def transformer_decode_step(
 
 def transformer_decode_step_ragged(
     params, cfg: ModelConfig, tokens: jnp.ndarray, layer_caches,
-    seq_lens: jnp.ndarray,
+    seq_lens: jnp.ndarray, page_table=None,
 ) -> Tuple[jnp.ndarray, Tuple[LayerCache, ...]]:
     """One RAGGED token step over a slot pool: every row decodes at its own
     cache position.  tokens [b] int32, seq_lens [b] int32; layer_caches is
@@ -368,6 +368,10 @@ def transformer_decode_step_ragged(
     args force pallas_call into an explicit per-slot loop — one kernel
     launch per SLOT per layer), all per-position math here is batched
     natively, so the device-op count is independent of the pool size.
+
+    With ``page_table`` ([b, max_pages] int32, shared by every layer) the
+    kv leaf of each layer cache is a physical page pool instead of
+    per-slot dense rows (serve.py paged mode; sparse-attention only).
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     x = params["token_emb"][tokens][:, None].astype(dtype)   # [b, 1, dim]
@@ -377,11 +381,16 @@ def transformer_decode_step_ragged(
         if cfg.use_sparse_attn:
             ffp = layer["ff"] if cfg.ff_kind == "gelu" else None
             x, new_lc = sparse_attention_decode(
-                layer["attn"], cfg, x, lc, t, ff_params=ffp
+                layer["attn"], cfg, x, lc, t, ff_params=ffp,
+                page_table=page_table,
             )
             if ffp is None:
                 x = x + _ff_apply(layer["ff"], cfg, x)
         else:
+            if page_table is not None:
+                raise NotImplementedError(
+                    "paged KV serving is sparse-attention only"
+                )
             x, new_lc = _full_attn_decode(layer["attn"], cfg, x, lc, t)
             x = x + _ff_apply(layer["ff"], cfg, x)
         new_layers.append(new_lc)

@@ -2,8 +2,51 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def tpu_compiler_options():
+    """Per-jit compile options for TPU backends (None on CPU).
+
+    The fused decode kernels' per-program VMEM blocks exceed the default
+    16 MiB scoped-vmem budget at batch 64 x max_len 4096 (decode_select_emit
+    streams the [kvh, 520, 128] ckv cache block through VMEM); v5e has
+    128 MiB of VMEM, so raising the scoped limit is safe.  XLA_FLAGS cannot
+    carry this flag here: the env var is parsed client-side, which rejects
+    TPU-only flags under the remote (axon) compile plugin — per-jit
+    compiler_options ship through PJRT.  Same rule as the Pallas fwd+bwd
+    training path (train/pretrain.py:tpu_compiler_options).
+    """
+    if jax.default_backend() == "cpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def lazy_jit(fn=None, /, **jit_kwargs):
+    """``jax.jit`` with TPU compiler options resolved at FIRST CALL.
+
+    ``compiler_options`` must depend on the backend, but decorating at
+    import time would force backend init (and tests flip the platform to
+    CPU after import).  The wrapper jits once, lazily, then delegates.
+    """
+    def wrap(f):
+        cell = []
+
+        @functools.wraps(f)
+        def call(*a, **k):
+            if not cell:
+                opts = tpu_compiler_options()
+                cell.append(jax.jit(
+                    f, compiler_options=opts, **jit_kwargs
+                ) if opts else jax.jit(f, **jit_kwargs))
+            return cell[0](*a, **k)
+
+        return call
+
+    return wrap(fn) if fn is not None else wrap
 
 
 def round_down_mult(n: int, mult: int) -> int:

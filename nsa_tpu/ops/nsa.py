@@ -484,6 +484,7 @@ def sparse_attention_decode(
     cache: NSADecodeCache,
     seq_len: jnp.ndarray,
     ff_params=None,
+    page_table=None,
 ) -> Tuple[jnp.ndarray, NSADecodeCache]:
     """One decode step. x: [b, 1, dim]; seq_len: scalar tokens already cached.
 
@@ -496,6 +497,12 @@ def sparse_attention_decode(
     fused kernel path runs it inside decode_attend's last head-grid step
     (one fewer XLA dispatch chain per layer), fallback paths apply it as
     XLA ops — either way the caller must not re-apply it.
+
+    With ``page_table`` ([b, max_pages] int32) the kv leaf of ``cache`` is
+    a SHARED physical page pool [P, kvh, PAGE, 2d] instead of per-slot
+    dense rows (serve.py's paged allocator); requires ragged seq_len and
+    the fused kernel path (the only kv reader/writer that understands the
+    indirection).
 
     Static-shape equivalent of the reference ``forward_inference``
     (reference: native_sparse_attention.py:338-547), minus its divergences
@@ -512,7 +519,12 @@ def sparse_attention_decode(
     overlap = nsa.compress_overlap_len
     num_mem = nsa.num_compressed_mem_kv
     window = nsa.sliding_window_size
-    max_len = cache.kv.shape[2]
+    paged = page_table is not None
+    if paged:
+        # kv is [P, kvh, PAGE, 2d]; logical capacity comes from the table
+        max_len = page_table.shape[1] * cache.kv.shape[2]
+    else:
+        max_len = cache.kv.shape[2]
     max_cb = cache.ckv.shape[2]
     max_fine = max_cb // nsa.num_compress_per_fine if nsa.num_compress_per_fine else 0
 
@@ -567,9 +579,15 @@ def sparse_attention_decode(
     # in place): ring shift + conditional emission + ckv write live in
     # decode_select_emit; gather + kv write + attention + output projection
     # + residual live in decode_attend_fused -------------------------------
-    if _use_fused_decode(cfg, b, cache.ckv.dtype, max_len) and not (
+    use_fused = _use_fused_decode(cfg, b, cache.ckv.dtype, max_len) and not (
         skip_fine or skip_compressed or skip_emit
-    ):
+    )
+    if paged and not (use_fused and ragged):
+        raise NotImplementedError(
+            "paged KV decode requires ragged seq_len and the fused kernel "
+            "path (attn_impl='pallas', mlp compressor, shared-KV selection)"
+        )
+    if use_fused:
         from .pallas import nsa_decode_fused as fused
 
         nsa_ = cfg.nsa
@@ -612,20 +630,31 @@ def sparse_attention_decode(
             scale=scale,
             batch_tile=_select_tile(cfg, max_len, stride, d, cache.ckv.dtype),
         )
-        out_x, kv_cache = attend_fn(
-            rq.reshape(b, kvh, g, d),
-            cache.kv,
-            jnp.concatenate([rk_new, v_new], axis=-1)[:, :, None].astype(
-                cache.kv.dtype
-            ),
-            info, c_out4,
-            gates.reshape(b, kvh, g, 3),
-            x, params["w_out"], t, ff_tuple,
-            sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
-            scale=scale,
-            batch_tile=(8 if ragged else min(cfg.decode_attend_tile, 16)),
-            eps=cfg.norm_eps,
-        )
+        kv_new_rot = jnp.concatenate(
+            [rk_new, v_new], axis=-1
+        )[:, :, None].astype(cache.kv.dtype)
+        if paged:
+            out_x, kv_cache = fused.decode_attend_fused_paged(
+                rq.reshape(b, kvh, g, d),
+                cache.kv, page_table, kv_new_rot,
+                info, c_out4,
+                gates.reshape(b, kvh, g, 3),
+                x, params["w_out"], t, ff_tuple,
+                sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
+                scale=scale, batch_tile=8, eps=cfg.norm_eps,
+            )
+        else:
+            out_x, kv_cache = attend_fn(
+                rq.reshape(b, kvh, g, d),
+                cache.kv, kv_new_rot,
+                info, c_out4,
+                gates.reshape(b, kvh, g, 3),
+                x, params["w_out"], t, ff_tuple,
+                sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
+                scale=scale,
+                batch_tile=(8 if ragged else min(cfg.decode_attend_tile, 16)),
+                eps=cfg.norm_eps,
+            )
         if ff_params is not None and not ff_tuple:
             out_x = out_x + _ff_apply_gelu(ff_params, cfg, out_x)
         new_cache = NSADecodeCache(kv=kv_cache, ckv=ckv_cache, ring=ring_new)

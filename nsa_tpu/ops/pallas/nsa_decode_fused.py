@@ -1302,3 +1302,294 @@ def decode_attend_fused_ragged(
         interpret=interpret,
     )(*operands)
     return out.astype(x.dtype), new_kv
+
+
+# ---------------------------------------------------------------------------
+# Paged variant: the serving engine's block-pool KV allocator (vLLM-style
+# paged attention, TPU-native).  The kv cache is a SHARED physical page pool
+# [P, kvh, PAGE, 2d] instead of per-slot dense [b, kvh, max_len, 2d]; a
+# host-managed page table [b, max_pages] (scalar-prefetched) maps each
+# slot's logical page to a physical page.  HBM *capacity* then scales with
+# live tokens instead of max_batch x max_len — the reference models this
+# KV saving analytically for bandwidth only (reference:
+# evaluation/efficiency.py:349-361); here it is real for footprint too.
+# Every kv access in the ragged kernel is already per-block DMA, so paging
+# is one extra SMEM indirection per gather; all attention math is
+# unchanged (logical positions).
+# ---------------------------------------------------------------------------
+
+
+def _attend_fused_paged_kernel(
+    scal_ref,       # SMEM [b]: per-row t
+    idx_ref,        # SMEM [b, kvh, n_slots]
+    pt_ref,         # SMEM [b, max_pages]: logical page -> physical page
+    rq_ref,         # [Bt, 1, g, d]
+    tvec_ref,       # [Bt, 2] int32 VMEM (col 0 = t)
+    kvnew_ref,      # [Bt, 1, 1, 2d]
+    msk_ref,        # [Bt, INFO_WIDTH]
+    cout_ref,       # [Bt, 1, g, d]
+    gates_ref,      # [Bt, 1, g, 3d]
+    resid_ref,      # [Bt, 1, dim]
+    wout_ref,       # [1, g, d, dim]
+    *rest,          # (+ optional FF operands; see _attend_fused_kernel)
+    scale, sel_block, window, num_sel, n_slide, with_ff, eps,
+):
+    if with_ff:
+        (ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_hbm, ffw2_hbm, kv_hbm,
+         out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems, ffw1_s,
+         ffw2_s, fsems) = rest
+    else:
+        (kv_hbm, out_ref, kv_out, fkv_s, win_s, comb_s, wsem, gsems) = rest
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+
+    if with_ff:
+        @pl.when(jnp.logical_and(bi == 0, hi == 0))
+        def _load_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).start()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).start()
+    Bt, _, g, d = rq_ref.shape
+    Bs = sel_block
+    n_slots = num_sel + n_slide
+    PAGE = kv_hbm.shape[2]                  # tokens per physical page
+    bpp = PAGE // Bs                        # selection blocks per page
+    max_pages = pt_ref.shape[1]
+    max_blocks = max_pages * bpp
+
+    def _blk_window(row, blk):
+        """Physical (page, in-page offset) of logical selection block
+        ``blk``.  Unmapped logical pages resolve to the trash page (the
+        host fills page-table holes with it), whose garbage rows are
+        masked out of both softmaxes downstream."""
+        blk = jnp.minimum(blk, max_blocks - 1)
+        pg = pt_ref[row, blk // bpp]
+        off = pl.multiple_of((blk % bpp) * Bs, Bs)
+        return pg, off
+
+    # ---- start all non-diagonal gathers, then the per-row RMWs -----------
+    # (same DMA ordering as the dense ragged kernel: selected blocks never
+    # include the diagonal, trailing blocks sit strictly below it)
+    pending = []
+    for r in range(Bt):
+        row = bi * Bt + r
+        for s in range(num_sel):
+            pg, off = _blk_window(row, idx_ref[row, hi, s])
+            cp = pltpu.make_async_copy(
+                kv_out.at[pg, hi, pl.ds(off, Bs), :],
+                fkv_s.at[r, pl.ds(s * Bs, Bs), :],
+                gsems.at[s],
+            )
+            cp.start()
+            pending.append(cp)
+        t_r = scal_ref[row]
+        last_r = t_r // Bs
+        for j in range(n_slide - 1):
+            blk = jnp.clip(last_r - (n_slide - 1 - j), 0, max_blocks - 1)
+            pg, off = _blk_window(row, blk)
+            cp = pltpu.make_async_copy(
+                kv_out.at[pg, hi, pl.ds(off, Bs), :],
+                fkv_s.at[r, pl.ds((num_sel + j) * Bs, Bs), :],
+                gsems.at[num_sel + j],
+            )
+            cp.start()
+            pending.append(cp)
+
+    # ---- per-row cache writes (aligned RMW into the diagonal page) -------
+    # The in-page row dim is 8-sublane tiled; PAGE % 8 == 0 keeps every
+    # window inside one page, so no cross-page case exists.  Inactive
+    # slots (t = 0, page-table hole) RMW the trash page — garbage in,
+    # garbage out, never read by an active slot.
+    newv = kvnew_ref[:, 0, 0]                              # [Bt, 2d]
+    d2 = newv.shape[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, d2), 0)
+    for r in range(Bt):
+        row = bi * Bt + r
+        t_r = scal_ref[row]
+        pg_w = pt_ref[row, t_r // PAGE]
+        inpage = t_r % PAGE
+        base = pl.multiple_of((inpage // 8) * 8, 8)
+        rd = pltpu.make_async_copy(
+            kv_out.at[pg_w, hi, pl.ds(base, 8), :], win_s.at[r], wsem)
+        rd.start()
+        rd.wait()
+        win_s[r] = jnp.where(ri == inpage - base, newv[r:r + 1, :], win_s[r])
+        wr = pltpu.make_async_copy(
+            win_s.at[r], kv_out.at[pg_w, hi, pl.ds(base, 8), :], wsem)
+        wr.start()
+        wr.wait()
+
+    # diagonal blocks: contain the rows the RMW above already committed
+    for r in range(Bt):
+        row = bi * Bt + r
+        blk = jnp.clip(scal_ref[row] // Bs, 0, max_blocks - 1)
+        pg, off = _blk_window(row, blk)
+        cp = pltpu.make_async_copy(
+            kv_out.at[pg, hi, pl.ds(off, Bs), :],
+            fkv_s.at[r, pl.ds((n_slots - 1) * Bs, Bs), :],
+            gsems.at[n_slots - 1],
+        )
+        cp.start()
+        pending.append(cp)
+    for cp in pending:
+        cp.wait()
+
+    combined = _attend_math(
+        tvec_ref[:, 0], rq_ref, fkv_s[:, :, :], msk_ref, cout_ref,
+        gates_ref, scale=scale, sel_block=sel_block, window=window,
+        num_sel=num_sel, n_slide=n_slide,
+    )
+
+    comb_s[...] = combined.astype(comb_s.dtype)
+    part = None
+    for gi in range(g):
+        pg = jax.lax.dot_general(
+            comb_s[:, gi, :], wout_ref[0, gi],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [Bt, dim]
+        part = pg if part is None else part + pg
+
+    @pl.when(hi == 0)
+    def _init():
+        out_ref[:, 0] = resid_ref[:, 0].astype(jnp.float32) + part
+
+    @pl.when(hi != 0)
+    def _acc():
+        out_ref[:, 0] = out_ref[:, 0] + part
+
+    if with_ff:
+        @pl.when(jnp.logical_and(bi == 0, hi == pl.num_programs(1) - 1))
+        def _wait_ff():
+            pltpu.make_async_copy(ffw1_hbm, ffw1_s, fsems.at[0]).wait()
+            pltpu.make_async_copy(ffw2_hbm, ffw2_s, fsems.at[1]).wait()
+
+        @pl.when(hi == pl.num_programs(1) - 1)
+        def _ff():
+            out_ref[:, 0] = _ff_tail(
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
+                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sel_block", "window", "num_sel", "n_slide", "scale",
+                     "batch_tile", "interpret", "eps"),
+)
+def decode_attend_fused_paged(
+    rq: jnp.ndarray,          # [b, kvh, g, d]
+    kv_pool: jnp.ndarray,     # [P, kvh, PAGE, 2d] physical page pool (donated)
+    page_table: jnp.ndarray,  # [b, max_pages] int32 logical -> physical
+    kv_new: jnp.ndarray,      # [b, kvh, 1, 2d]
+    info: jnp.ndarray,        # [b, kvh*INFO_WIDTH]
+    c_out: jnp.ndarray,       # [b, kvh, g, d]
+    gates: jnp.ndarray,       # [b, kvh, g, 3]
+    x: jnp.ndarray,           # [b, 1, dim]
+    w_out: jnp.ndarray,       # [dim_inner, dim]
+    t: jnp.ndarray,           # [b] int32 per-row positions
+    ff: tuple = (),           # optional (norm_scale, w1, b1, w2, b2)
+    *, sel_block: int, window: int, num_sel: int, n_slide: int, scale: float,
+    batch_tile: int = 8, interpret: bool | None = None, eps: float = 1e-6,
+):
+    """Paged decode_attend_fused_ragged: -> (layer output, new kv pool).
+
+    The kv cache is a shared physical page pool; ``page_table`` maps each
+    slot's logical page (PAGE = kv_pool.shape[2] tokens) to a physical
+    page.  Semantically identical to the dense ragged kernel under any
+    valid table (tests/test_serve.py pins engine-level token equality)."""
+    b, kvh, g, d = rq.shape
+    dim = x.shape[-1]
+    n_slots = num_sel + n_slide
+    J = n_slots * sel_block
+    PAGE = kv_pool.shape[2]
+    assert PAGE % sel_block == 0 and PAGE % 8 == 0
+    interpret = resolve_interpret(interpret)
+    Bt = _pick_batch_tile(b, batch_tile)
+    with_ff = bool(ff)
+
+    tarr = t.astype(jnp.int32)
+    idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
+    pt = page_table.astype(jnp.int32)
+    tn = jnp.stack([tarr, tarr], axis=1)                   # [b, 2] VMEM view
+    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    wout3 = w_out.reshape(kvh, g, d, dim)
+
+    in_specs = [
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 2), lambda bi, hi, s, i, p: (bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, 2 * d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, INFO_WIDTH), lambda bi, hi, s, i, p: (bi, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i, p: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g, d, dim), lambda bi, hi, s, i, p: (hi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [tarr, idx, pt, rq, tn, kv_new, info, c_out, gates_bc, x,
+                wout3]
+    scratch = [
+        pltpu.VMEM((Bt, J, 2 * d), kv_pool.dtype),
+        pltpu.VMEM((Bt, 8, 2 * d), kv_pool.dtype),
+        pltpu.VMEM((Bt, g, d), kv_pool.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((n_slots,)),
+    ]
+    if with_ff:
+        fnorm, fw1, fb1, fw2, fb2 = ff
+        hid4 = fw1.shape[1]
+        wdt = x.dtype
+        in_specs += [
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid4), lambda bi, hi, s, i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, hi, s, i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _hbm_spec(interpret),
+            _hbm_spec(interpret),
+        ]
+        operands += [fnorm[None], fb1[None], fb2[None],
+                     fw1.astype(wdt), fw2.astype(wdt)]
+        scratch += [
+            pltpu.VMEM((dim, hid4), wdt),
+            pltpu.VMEM((hid4, dim), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    in_specs.append(_hbm_spec(interpret))
+    operands.append(kv_pool)
+    kv_idx = len(operands) - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b // Bt, kvh),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i, p: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _hbm_spec(interpret),
+        ),
+        scratch_shapes=scratch,
+    )
+    out, new_pool = pl.pallas_call(
+        functools.partial(
+            _attend_fused_paged_kernel, scale=scale, sel_block=sel_block,
+            window=window, num_sel=num_sel, n_slide=n_slide,
+            with_ff=with_ff, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, dim), jnp.float32),
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+        ),
+        # operand numbering includes the three scalar-prefetch args
+        input_output_aliases={kv_idx: 1},
+        interpret=interpret,
+    )(*operands)
+    return out.astype(x.dtype), new_pool

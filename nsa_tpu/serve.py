@@ -23,6 +23,7 @@ This engine provides the long-context serving story of the north star:
 
 from __future__ import annotations
 
+import math
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -40,10 +41,11 @@ from .models.transformer import (
     transformer_decode_step_ragged,
     transformer_prefill,
 )
-from .ops.common import round_up_mult
+from .ops.common import lazy_jit, round_up_mult
+from .ops.nsa import NSADecodeCache, _ckv_width
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+@partial(lazy_jit, static_argnames=("cfg",), donate_argnums=(3,))
 def ragged_decode_step(params, cfg: ModelConfig, tokens, cache_layers,
                        seq_lens):
     """Advance every slot one token at its own position.
@@ -65,7 +67,7 @@ def ragged_decode_step(params, cfg: ModelConfig, tokens, cache_layers,
 
 
 @partial(
-    jax.jit,
+    lazy_jit,
     static_argnames=("cfg", "num_steps", "temperature", "filter_thres"),
     donate_argnums=(3,),
 )
@@ -103,7 +105,89 @@ def ragged_decode_multi(params, cfg: ModelConfig, tokens, cache_layers,
     return jnp.moveaxis(toks, 0, 1), layers
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+@partial(lazy_jit, static_argnames=("cfg",), donate_argnums=(3,))
+def ragged_decode_step_paged(params, cfg: ModelConfig, tokens, cache_layers,
+                             seq_lens, page_table):
+    """Paged ``ragged_decode_step``: the kv leaf of every layer cache is a
+    shared physical page pool addressed through ``page_table`` (constant
+    within a step; the host remaps between syncs)."""
+    return transformer_decode_step_ragged(
+        params, cfg, tokens, cache_layers, seq_lens, page_table
+    )
+
+
+@partial(
+    lazy_jit,
+    static_argnames=("cfg", "num_steps", "temperature", "filter_thres"),
+    donate_argnums=(3,),
+)
+def ragged_decode_multi_paged(params, cfg: ModelConfig, tokens, cache_layers,
+                              seq_lens, page_table, num_steps: int,
+                              temperature: float = 0.0,
+                              filter_thres: float = 0.9, rng=None):
+    """Paged ``ragged_decode_multi``: the page table is scan-invariant —
+    admission reserves every page a request can touch up front, so a
+    whole sync window runs without host-side remapping."""
+    if temperature > 0:
+        rngs = jax.random.split(rng, num_steps)
+    else:
+        rngs = jnp.zeros((num_steps,), jnp.int32)
+
+    def body(carry, rng_i):
+        toks, layers, t = carry
+        logits, layers = transformer_decode_step_ragged(
+            params, cfg, toks, layers, t, page_table
+        )
+        nxt = _sample_from_logits(
+            logits, rng_i if temperature > 0 else None, temperature,
+            filter_thres,
+        )
+        return (nxt, layers, t + 1), nxt
+
+    (_, layers, _), toks = jax.lax.scan(
+        body, (tokens, cache_layers, seq_lens), rngs, length=num_steps
+    )
+    return jnp.moveaxis(toks, 0, 1), layers
+
+
+@partial(lazy_jit, donate_argnums=(0,))
+def _paged_merge_wave(cache_layers, wave_layers, phys_pages, mask):
+    """Merge a prefill wave into the paged pool + dense ckv/ring slots.
+
+    cache_layers: per-layer NSADecodeCache(kv=pool [P,kvh,PAGE,2d],
+    ckv=[B,kvh,Wc_full,2d], ring=[B,kvh,Bc,2d]).  wave_layers: the bucket-
+    sized prefill caches (kv [B,kvh,bucket_up,2d], ckv [B,kvh,Wc_b,2d]).
+    phys_pages [B, bucket_up//PAGE] int32: physical destination of each
+    logical page, or P (one past the pool, a positive OUT-OF-BOUNDS
+    sentinel — negative indices would wrap) where the page is beyond the
+    row's reservation or the row is not in the wave; scatter mode='drop'
+    skips those.  mask [B]: rows admitted this wave (gates the ckv/ring
+    slot overwrite)."""
+    new_layers = []
+    for pool_c, wave in zip(cache_layers, wave_layers):
+        P_, kvh, PAGE, d2 = pool_c.kv.shape
+        B, _, bucket_up, _ = wave.kv.shape
+        n_pg = bucket_up // PAGE
+        blocks = wave.kv.reshape(B, kvh, n_pg, PAGE, d2)
+        blocks = jnp.moveaxis(blocks, 2, 1).reshape(B * n_pg, kvh, PAGE, d2)
+        pool = pool_c.kv.at[phys_pages.reshape(-1)].set(
+            blocks.astype(pool_c.kv.dtype), mode="drop"
+        )
+        wc_b = wave.ckv.shape[2]
+        ckv_w = jnp.zeros_like(pool_c.ckv).at[:, :, :wc_b].set(
+            wave.ckv.astype(pool_c.ckv.dtype)
+        )
+        m = mask.reshape(B, 1, 1, 1)
+        new_layers.append(NSADecodeCache(
+            kv=pool,
+            ckv=jnp.where(m, ckv_w, pool_c.ckv),
+            ring=jnp.where(m, wave.ring.astype(pool_c.ring.dtype),
+                           pool_c.ring),
+        ))
+    return tuple(new_layers)
+
+
+@partial(lazy_jit, static_argnames=("cfg", "max_len"))
 def bucketed_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
                      true_len):
     """Prefill a right-padded [1, bucket] prompt with its true length."""
@@ -112,7 +196,7 @@ def bucketed_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+@partial(lazy_jit, static_argnames=("cfg", "max_len"))
 def wave_prefill(params, cfg: ModelConfig, padded_ids, max_len: int,
                  true_lens):
     """Prefill a whole admission wave: [max_batch, bucket] right-padded
@@ -153,7 +237,17 @@ class ContinuousBatchingEngine:
         filter_thres: float = 0.9,
         seed: int = 0,
         mesh=None,
+        paged_pool_pages: Optional[int] = None,
+        page_tokens: int = 64,
     ):
+        """``paged_pool_pages`` switches the kv cache to a shared physical
+        page pool of that many usable pages (page = ``page_tokens`` rows,
+        + 1 reserved trash page): HBM capacity then scales with LIVE
+        tokens (sum over requests of prompt+gen, page-rounded) instead of
+        max_batch x max_len.  Admission reserves a request's whole
+        lifetime of pages up front, so no request can run out of memory
+        mid-flight — when the pool is full, pending requests simply wait.
+        Sparse-attention fused-kernel configs only; single-mesh only."""
         # (data, heads) mesh serving: slots shard over the data axis, the
         # KV-head dimension of every cache leaf and the TP projections over
         # heads (SURVEY 2.4 P1's "data+batch parallel decode with
@@ -179,13 +273,59 @@ class ContinuousBatchingEngine:
         # round-trips; admission/retirement happen between syncs
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.buckets = tuple(sorted(prefill_buckets))
-        # slot-pooled cache: leading dim = max_batch on every leaf
-        pool = init_model_cache(cfg, max_batch, max_len, dtype)
-        self.cache_layers = pool.layers
-        if mesh is not None:
-            from .parallel.sharding import shard_cache
+        self.paged = paged_pool_pages is not None
+        if self.paged:
+            if not cfg.use_sparse_attn:
+                raise NotImplementedError("paged KV pool is sparse-only")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "paged KV pool is single-device (the pool's leading "
+                    "dim is pages, not slots — no data-axis sharding)"
+                )
+            nsa = cfg.nsa
+            stride = nsa.compress_block_sliding_stride
+            lcm = page_tokens * stride // math.gcd(page_tokens, stride)
+            if (page_tokens % nsa.selection_block_size
+                    or page_tokens % 8 or max_len % lcm):
+                raise ValueError(
+                    "page_tokens must be a multiple of selection_block_size"
+                    " and 8, and max_len a multiple of lcm(page, stride)"
+                )
+            self.page_tokens = page_tokens
+            self.max_pages = max_len // page_tokens
+            self._page_lcm = lcm
+            self._total_pages = paged_pool_pages
+            self.trash_page = paged_pool_pages           # last physical page
+            d, kvh = cfg.dim_head, cfg.kv_heads
+            wc = _ckv_width(max_len, stride, nsa.num_compress_per_fine)
+            self.cache_layers = tuple(
+                NSADecodeCache(
+                    kv=jnp.zeros(
+                        (paged_pool_pages + 1, kvh, page_tokens, 2 * d),
+                        dtype,
+                    ),
+                    ckv=jnp.zeros((max_batch, kvh, wc, 2 * d), dtype),
+                    ring=jnp.zeros(
+                        (max_batch, kvh, nsa.compress_block_size, 2 * d),
+                        dtype,
+                    ),
+                )
+                for _ in range(cfg.depth)
+            )
+            self.page_table = np.full(
+                (max_batch, self.max_pages), self.trash_page, np.int32
+            )
+            self._pt_dev = jnp.asarray(self.page_table)
+            self._free_pages: deque = deque(range(paged_pool_pages))
+            self._slot_pages: List[List[int]] = [[] for _ in range(max_batch)]
+        else:
+            # slot-pooled cache: leading dim = max_batch on every leaf
+            pool = init_model_cache(cfg, max_batch, max_len, dtype)
+            self.cache_layers = pool.layers
+            if mesh is not None:
+                from .parallel.sharding import shard_cache
 
-            self.cache_layers = shard_cache(self.cache_layers, mesh)
+                self.cache_layers = shard_cache(self.cache_layers, mesh)
         self.seq_lens = np.zeros(max_batch, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.pending: deque = deque()
@@ -207,12 +347,35 @@ class ContinuousBatchingEngine:
             )
         rid = self._rid
         self._rid += 1
-        self.pending.append(Request(rid, prompt, max_new_tokens, stop_byte))
+        req = Request(rid, prompt, max_new_tokens, stop_byte)
+        if self.paged and self._pages_needed(req) > self._total_pages:
+            raise ValueError(
+                f"request needs {self._pages_needed(req)} pages but the "
+                f"pool only has {self._total_pages}; raise paged_pool_pages"
+            )
+        self.pending.append(req)
         return rid
 
     @property
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
+
+    def _pages_needed(self, req: "Request") -> int:
+        """Pages covering the request's whole lifetime: prompt rows plus
+        every decode write (rows prompt .. prompt+gen-2; the first token
+        comes from prefill logits), plus up to steps_per_sync-1 slack rows
+        the multi-step scan may write past retirement."""
+        rows = len(req.prompt) + req.max_new_tokens + self.steps_per_sync
+        rows = min(rows, self.max_len)
+        return -(-rows // self.page_tokens)
+
+    def _release_pages(self, slot: int):
+        if not self.paged:
+            return
+        self._free_pages.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        self.page_table[slot, :] = self.trash_page
+        self._pt_dev = jnp.asarray(self.page_table)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -238,7 +401,23 @@ class ContinuousBatchingEngine:
         wave = []                                   # (slot, request)
         for slot in range(self.max_batch):
             if self.slot_req[slot] is None and self.pending:
-                wave.append((slot, self.pending.popleft()))
+                if self.paged:
+                    # reservation-based admission: take every page this
+                    # request can touch over its whole lifetime NOW (FIFO
+                    # order preserved — a too-big head blocks the queue
+                    # rather than being starved by smaller requests)
+                    req = self.pending[0]
+                    need = self._pages_needed(req)
+                    if len(self._free_pages) < need:
+                        break
+                    self.pending.popleft()
+                    pages = [self._free_pages.popleft() for _ in range(need)]
+                    self._slot_pages[slot] = pages
+                    self.page_table[slot, :] = self.trash_page
+                    self.page_table[slot, :need] = pages
+                    wave.append((slot, req))
+                else:
+                    wave.append((slot, self.pending.popleft()))
         if not wave:
             return
         bucket = min(
@@ -253,17 +432,42 @@ class ContinuousBatchingEngine:
             ids[slot, :n] = req.prompt
             tls[slot] = n
             mask[slot] = True
-        first_toks, cache = wave_prefill(
-            self.params, self.cfg, jnp.asarray(ids), self.max_len,
-            jnp.asarray(tls),
-        )
-        m = jnp.asarray(mask)
-        self.cache_layers = jax.tree_util.tree_map(
-            lambda pool, new: jnp.where(
-                m.reshape((-1,) + (1,) * (pool.ndim - 1)), new, pool
-            ),
-            self.cache_layers, cache.layers,
-        )
+        if self.paged:
+            # prefill at BUCKET size (page-rounded), not max_len: the
+            # transient prefill cache is what bounds paged HBM, and decode
+            # continues past the bucket through on-reservation pages
+            bucket_up = round_up_mult(bucket, self._page_lcm)
+            first_toks, cache = wave_prefill(
+                self.params, self.cfg, jnp.asarray(ids), bucket_up,
+                jnp.asarray(tls),
+            )
+            n_pg = bucket_up // self.page_tokens
+            # fill = P (positive out-of-bounds -> dropped by the scatter;
+            # -1 would WRAP to the last pool page and corrupt it)
+            phys = np.full(
+                (self.max_batch, n_pg),
+                self.cache_layers[0].kv.shape[0], np.int32,
+            )
+            for slot, _ in wave:
+                k = min(n_pg, len(self._slot_pages[slot]))
+                phys[slot, :k] = self._slot_pages[slot][:k]
+            self.cache_layers = _paged_merge_wave(
+                self.cache_layers, cache.layers, jnp.asarray(phys),
+                jnp.asarray(mask),
+            )
+            self._pt_dev = jnp.asarray(self.page_table)
+        else:
+            first_toks, cache = wave_prefill(
+                self.params, self.cfg, jnp.asarray(ids), self.max_len,
+                jnp.asarray(tls),
+            )
+            m = jnp.asarray(mask)
+            self.cache_layers = jax.tree_util.tree_map(
+                lambda pool, new: jnp.where(
+                    m.reshape((-1,) + (1,) * (pool.ndim - 1)), new, pool
+                ),
+                self.cache_layers, cache.layers,
+            )
         if self.mesh is not None:
             # keep the pool's canonical (data, heads) placement: the
             # freshly-prefilled wave cache inherits whatever sharding GSPMD
@@ -295,6 +499,7 @@ class ContinuousBatchingEngine:
             self.finished[req.rid] = np.asarray(req.generated, np.int32)
             self.slot_req[slot] = None
             self.seq_lens[slot] = 0
+            self._release_pages(slot)
 
     def step(self):
         """One engine iteration: admit, ragged-decode, retire."""
@@ -309,10 +514,16 @@ class ContinuousBatchingEngine:
         if self.steps_per_sync > 1 and self._room() >= self.steps_per_sync:
             self._multi_step()
             return
-        logits, self.cache_layers = ragged_decode_step(
-            self.params, self.cfg, jnp.asarray(self._next_token),
-            self.cache_layers, jnp.asarray(self.seq_lens),
-        )
+        if self.paged:
+            logits, self.cache_layers = ragged_decode_step_paged(
+                self.params, self.cfg, jnp.asarray(self._next_token),
+                self.cache_layers, jnp.asarray(self.seq_lens), self._pt_dev,
+            )
+        else:
+            logits, self.cache_layers = ragged_decode_step(
+                self.params, self.cfg, jnp.asarray(self._next_token),
+                self.cache_layers, jnp.asarray(self.seq_lens),
+            )
         nxt_all = self._sample_host(np.asarray(logits))
         for slot, req in enumerate(self.slot_req):
             if req is None:
@@ -325,6 +536,7 @@ class ContinuousBatchingEngine:
                 self.finished[req.rid] = np.asarray(req.generated, np.int32)
                 self.slot_req[slot] = None
                 self.seq_lens[slot] = 0
+                self._release_pages(slot)
                 continue
             self._maybe_retire(slot)
 
@@ -360,12 +572,20 @@ class ContinuousBatchingEngine:
         rng = None
         if self.temperature > 0:
             self._rng, rng = jax.random.split(self._rng)
-        toks, self.cache_layers = ragged_decode_multi(
-            self.params, self.cfg, jnp.asarray(self._next_token),
-            self.cache_layers, jnp.asarray(self.seq_lens), k,
-            temperature=self.temperature, filter_thres=self.filter_thres,
-            rng=rng,
-        )
+        if self.paged:
+            toks, self.cache_layers = ragged_decode_multi_paged(
+                self.params, self.cfg, jnp.asarray(self._next_token),
+                self.cache_layers, jnp.asarray(self.seq_lens), self._pt_dev,
+                k, temperature=self.temperature,
+                filter_thres=self.filter_thres, rng=rng,
+            )
+        else:
+            toks, self.cache_layers = ragged_decode_multi(
+                self.params, self.cfg, jnp.asarray(self._next_token),
+                self.cache_layers, jnp.asarray(self.seq_lens), k,
+                temperature=self.temperature, filter_thres=self.filter_thres,
+                rng=rng,
+            )
         toks = np.asarray(toks)
         for slot, req in enumerate(self.slot_req):
             if req is None:
@@ -384,6 +604,7 @@ class ContinuousBatchingEngine:
                     )
                     self.slot_req[slot] = None
                     self.seq_lens[slot] = 0
+                    self._release_pages(slot)
                     break
 
     def run(self, max_steps: int = 10_000) -> Dict[int, np.ndarray]:

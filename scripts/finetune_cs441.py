@@ -33,7 +33,7 @@ from nsa_tpu.utils.metrics import MetricsLogger
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--teacher-ckpt", default="ckpt/full_attn_seq512_s5000")
+    p.add_argument("--teacher-ckpt", default="ckpt/full_attn_seq4096")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=256)
@@ -95,7 +95,9 @@ def main():
     )
     print(json.dumps({
         "adapted_accuracy": result["accuracy"],
+        "adapted_ci95": result["accuracy_ci95"],
         "base_accuracy": result.get("base_accuracy"),
+        "base_ci95": result.get("base_accuracy_ci95"),
         "num_samples": result["num_samples"],
         "mode": args.mode,
         "steps": args.steps,

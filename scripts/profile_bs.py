@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nsa_tpu.ops.common import lazy_jit
 from nsa_tpu.config import reference_model_config
 from nsa_tpu.models.transformer import (
     init_model_cache,
@@ -39,7 +40,7 @@ def build_scan(cfg, gen):
             return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
         (tok, _), _ = jax.lax.scan(step, (first, cache), None, length=gen)
         return tok
-    return jax.jit(scan)
+    return lazy_jit(scan)
 
 
 def time_path(params, cfg, batch, max_len, prompt, gen, reps=5):

@@ -50,14 +50,22 @@ def main():
     p.add_argument("--attn-impl", default="pallas",
                    choices=["reference", "xla", "pallas"])
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--paged-pages", type=int, default=None,
+                   help="use the paged KV pool with this many pages "
+                        "(HBM capacity scales with live tokens)")
+    p.add_argument("--page-tokens", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="float32 for CPU dry-runs (CPU XLA lacks bf16 dots)")
     args = p.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     if args.ckpt:
         # accept either a run dir (ckpt/foo) or a step dir (ckpt/foo/step_N)
         if not os.path.exists(os.path.join(args.ckpt, "meta.json")):
             args.ckpt = latest_checkpoint(args.ckpt) or args.ckpt
         cfg = model_config_from_checkpoint(args.ckpt).replace(
-            attn_impl=args.attn_impl, dtype="bfloat16"
+            attn_impl=args.attn_impl, dtype=args.dtype
         )
         params = init_transformer(jax.random.PRNGKey(0), cfg)
         state, _ = restore_checkpoint(args.ckpt, {"params": params})
@@ -65,7 +73,7 @@ def main():
     else:
         cfg = reference_model_config(
             use_sparse_attn=not args.full_attention
-        ).replace(attn_impl=args.attn_impl, dtype="bfloat16")
+        ).replace(attn_impl=args.attn_impl, dtype=args.dtype)
         params = init_transformer(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.RandomState(0)
@@ -78,8 +86,12 @@ def main():
         eng = ContinuousBatchingEngine(
             params, cfg, max_batch=args.max_batch, max_len=args.max_len,
             prefill_buckets=(128, 256, 512),
-            dtype=jnp.bfloat16, steps_per_sync=args.steps_per_sync,
+            dtype=dtype, steps_per_sync=args.steps_per_sync,
             temperature=args.temperature,
+            paged_pool_pages=args.paged_pages, page_tokens=args.page_tokens,
+        )
+        kv_bytes = sum(
+            c.kv.size * c.kv.dtype.itemsize for c in eng.cache_layers
         )
         for pr in prompts:
             eng.add_request(pr, max_new_tokens=args.gen)
@@ -87,17 +99,19 @@ def main():
         outs = eng.run()
         dt = time.perf_counter() - t0
         total_new = sum(len(v) for v in outs.values())
-        return dt, total_new
+        return dt, total_new, kv_bytes
 
     # warmup compiles (prefill bucket + decode scan), then measure
     run_once()
-    dt, total_new = run_once()
+    dt, total_new, kv_bytes = run_once()
     print({
         "requests": args.requests,
         "prompt_len": args.prompt_len,
         "gen": args.gen,
         "max_batch": args.max_batch,
         "steps_per_sync": args.steps_per_sync,
+        "paged_pages": args.paged_pages,
+        "kv_pool_mib": round(kv_bytes / 2**20, 1),
         "wall_s": round(dt, 3),
         "new_tokens_per_s": round(total_new / dt, 1),
         "requests_per_s": round(args.requests / dt, 2),
