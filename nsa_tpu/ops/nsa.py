@@ -579,9 +579,19 @@ def sparse_attention_decode(
     # in place): ring shift + conditional emission + ckv write live in
     # decode_select_emit; gather + kv write + attention + output projection
     # + residual live in decode_attend_fused -------------------------------
+    # batch-size policy (r4 A/B, exp_result/r4): the fused 2-kernel path
+    # wins the dispatch-bound small-batch regime (bs 1: 0.684 vs 0.730
+    # ms/step; bs 8: 0.852 vs 0.986) but loses the throughput-bound one
+    # (bs 16: 1.002 vs 0.940; bs 64 / prompt 3900 headline: 62.8k vs
+    # 67.0k tok/s) — decode_select_emit streams the whole ckv block per
+    # batch tile, which the r2 path's batched XLA gather amortizes better
+    # at large b.  Crossover sits between 8 and 16.  Ragged (serving)
+    # rows always use the fused kernels: the r2 path vmaps scalar-prefetch
+    # args into a per-SLOT kernel-launch loop.
+    fused_max_b = int(os.environ.get("NSA_FUSED_DECODE_MAX_B", "8"))
     use_fused = _use_fused_decode(cfg, b, cache.ckv.dtype, max_len) and not (
         skip_fine or skip_compressed or skip_emit
-    )
+    ) and (ragged or b <= fused_max_b)
     if paged and not (use_fused and ragged):
         raise NotImplementedError(
             "paged KV decode requires ragged seq_len and the fused kernel "
