@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..models.transformer import (
+    fuse_decode_params,
     transformer_decode_step,
     transformer_forward,
     transformer_prefill,
@@ -94,6 +95,7 @@ def measure_decode(
     stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
     blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1, 128)
     max_len = round_up_mult(prompt_len + gen_len + 1, blk)
+    params = fuse_decode_params(params, cfg)
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
 
     prefill = lazy_jit(
@@ -145,6 +147,7 @@ def run_efficiency_sweep(
     bucket itself in ``prefill_bucket``.
     """
     prompt_lens = list(prompt_lens)
+    params = fuse_decode_params(params, cfg)
     stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
     blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1, 128)
     need = max(max(prompt_lens) + gen_len + 1, seq_len or 0)

@@ -122,6 +122,44 @@ def init_transformer(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
+def fuse_decode_params(params: dict, cfg: ModelConfig) -> dict:
+    """Precompute the per-layer fused/packed decode weights ONCE.
+
+    The decode step concatenates w_q|w_k|w_v|gate_w (~1 MB) and packs the
+    compressor weights (pos_kv, w2, b2) + dtype casts EVERY step per layer
+    — XLA does not hoist these out of the decode scan and the bs-1 xprof
+    shows them as real per-step device ops (exp_result/r4/trace_bs1.log).
+    Returns a new params pytree with ``layer["attn"]["decode_fused"]``
+    added; `sparse_attention_decode` picks it up when present (the key's
+    presence is static per jit trace), training paths never see it.  Call
+    it once wherever params are long-lived (serving engine, benchmark
+    scans, samplers) — NOT inside a jitted step.
+    """
+    if not cfg.use_sparse_attn:
+        return params
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    new_layers = []
+    for layer in params["layers"]:
+        attn = dict(layer["attn"])
+        kc, vc = attn["k_compress"], attn["v_compress"]
+        attn["decode_fused"] = {
+            "w_qkvg": jnp.concatenate(
+                [attn["w_q"], attn["w_k"], attn["w_v"], attn["gate_w"]],
+                axis=1,
+            ).astype(dtype),
+            "pos_kv": jnp.concatenate(
+                [attn["k_pos"], attn["v_pos"]], axis=-1
+            ).astype(dtype),
+            "w1k": kc["w1"].astype(dtype),
+            "w1v": vc["w1"].astype(dtype),
+            "w2": jnp.concatenate([kc["w2"], vc["w2"]], axis=-1).astype(dtype),
+            "b2": jnp.concatenate([kc["b2"], vc["b2"]], axis=-1),
+            "mem_kv": attn["mem_kv"].astype(dtype),
+        }
+        new_layers.append({**layer, "attn": attn})
+    return {**params, "layers": new_layers}
+
+
 def _ff_apply(params, cfg: ModelConfig, x):
     h = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     if cfg.ff_kind == "swiglu":

@@ -546,12 +546,20 @@ def sparse_attention_decode(
 
     normed = rms_norm(x, params["norm_scale"], cfg.norm_eps)
 
-    # one fused projection matmul: [q | k | v | gate]; the concatenated
-    # weight is loop-invariant so XLA hoists it out of the decode scan
-    w_fused = jnp.concatenate(
-        [params["w_q"], params["w_k"], params["w_v"], params["gate_w"]],
-        axis=1,
-    ).astype(normed.dtype)
+    # one fused projection matmul: [q | k | v | gate].  The concatenated
+    # weight is precomputed ONCE by models.transformer.fuse_decode_params
+    # when present (XLA does NOT hoist the concat out of the decode scan —
+    # it showed as a real ~1 MB-copy device op per layer per step in the
+    # bs-1 xprof); the in-graph build is the fallback for callers that
+    # haven't fused (training-adjacent tests, ad-hoc decode).
+    fp = params.get("decode_fused")
+    if fp is not None:
+        w_fused = fp["w_qkvg"].astype(normed.dtype)
+    else:
+        w_fused = jnp.concatenate(
+            [params["w_q"], params["w_k"], params["w_v"], params["gate_w"]],
+            axis=1,
+        ).astype(normed.dtype)
     proj = (normed @ w_fused)[:, 0]               # [b, h*d + 2*kvh*d + 3h]
     qkv, gate_logits = (
         proj[:, : cfg.dim_inner + 2 * cfg.dim_kv_inner],
@@ -563,13 +571,12 @@ def sparse_attention_decode(
 
     kv_new = jnp.concatenate([k_new, v_new], axis=-1)          # [b, kvh, 2d]
 
-    # ---- rotate (q and k in one call) ------------------------------------
-    qk = jnp.concatenate([q, k_new], axis=1)[:, :, None]
-    if ragged:
-        rot = rotate_at_row_offsets(qk, t, cfg.rope_theta)[:, :, 0]
-    else:
-        rot = rotate_at_offset(qk, t, cfg.rope_theta)[:, :, 0]
-    rq, rk_new = rot[:, :h], rot[:, h:]
+    # ---- rotate q and k (two calls, NO concat/split: the [b, h+kvh, d]
+    # concat + slices were separate device ops; sin/cos depend only on t so
+    # XLA CSEs them across the two calls and across layers) ----------------
+    rot_fn = rotate_at_row_offsets if ragged else rotate_at_offset
+    rq = rot_fn(q[:, :, None], t, cfg.rope_theta)[:, :, 0]
+    rk_new = rot_fn(k_new[:, :, None], t, cfg.rope_theta)[:, :, 0]
 
     gates = jax.nn.sigmoid(
         gate_logits + params["gate_b"].astype(gate_logits.dtype)
@@ -605,11 +612,21 @@ def sparse_attention_decode(
         n_slide = -(-window // Bs) + 1
         cdt = cache.ckv.dtype
         kc, vc = params["k_compress"], params["v_compress"]
-        pos_kv = jnp.concatenate(
-            [params["k_pos"], params["v_pos"]], axis=-1
-        ).astype(cdt)                                       # [kvh, Bc, 2d]
-        w2 = jnp.concatenate([kc["w2"], vc["w2"]], axis=-1).astype(cdt)
-        b2 = jnp.concatenate([kc["b2"], vc["b2"]], axis=-1)
+        if fp is not None:
+            # packed once by fuse_decode_params (no per-step concat/cast)
+            pos_kv = fp["pos_kv"].astype(cdt)
+            w1k_, w1v_ = fp["w1k"].astype(cdt), fp["w1v"].astype(cdt)
+            w2 = fp["w2"].astype(cdt)
+            b2 = fp["b2"]
+            mem_kv_ = fp["mem_kv"].astype(x.dtype)
+        else:
+            pos_kv = jnp.concatenate(
+                [params["k_pos"], params["v_pos"]], axis=-1
+            ).astype(cdt)                                   # [kvh, Bc, 2d]
+            w1k_, w1v_ = kc["w1"].astype(cdt), vc["w1"].astype(cdt)
+            w2 = jnp.concatenate([kc["w2"], vc["w2"]], axis=-1).astype(cdt)
+            b2 = jnp.concatenate([kc["b2"], vc["b2"]], axis=-1)
+            mem_kv_ = params["mem_kv"].astype(x.dtype)
         num_cb_s = jnp.asarray(num_cb, jnp.int32)
         select_fn = (
             fused.decode_select_emit_ragged if ragged
@@ -629,10 +646,10 @@ def sparse_attention_decode(
             q.reshape(b, kvh, g, d),
             cache.ckv, cache.ring,
             kv_new[:, :, None].astype(cache.ring.dtype),
-            params["mem_kv"].astype(x.dtype),
+            mem_kv_,
             pos_kv,
-            kc["w1"].astype(cdt), kc["b1"],
-            vc["w1"].astype(cdt), vc["b1"],
+            w1k_, kc["b1"],
+            w1v_, vc["b1"],
             w2, b2,
             t, num_cb_s,
             max_blocks=max_len // Bs,

@@ -498,10 +498,13 @@ def _attend_math(t, rq_ref, fkv, msk_ref, cout_ref, gates_ref, *,
     s_out = masked_out(slide_ok)
 
     c_out = cout_ref[:, 0].astype(jnp.float32)
-    gts = gates_ref[:, 0].astype(jnp.float32)              # [Bt, g, 3d]
-    return (gts[:, :, :d] * c_out
-            + gts[:, :, d:2 * d] * f_out
-            + gts[:, :, 2 * d:] * s_out)                   # [Bt, g, d]
+    # gates arrive RAW as [Bt, g, 3] (3 lanes, padded); the per-branch
+    # scalar broadcasts over the d lanes here — the old XLA-side
+    # jnp.repeat(gates, d) was a real per-layer device op at decode
+    gts = gates_ref[:, 0].astype(jnp.float32)              # [Bt, g, 3]
+    return (gts[:, :, 0:1] * c_out
+            + gts[:, :, 1:2] * f_out
+            + gts[:, :, 2:3] * s_out)                      # [Bt, g, d]
 
 
 def _erf_f32(x):
@@ -558,7 +561,7 @@ def _attend_fused_kernel(
     kvnew_ref,      # [Bt, 1, 1, 2d] rotated-k||v of the new token
     msk_ref,        # [Bt, INFO_WIDTH] packed info (vector view)
     cout_ref,       # [Bt, 1, g, d] branch-1 output
-    gates_ref,      # [Bt, 1, g, 3d]
+    gates_ref,      # [Bt, 1, g, 3] raw branch gates (broadcast in-kernel)
     resid_ref,      # [Bt, 1, dim] residual-stream input x
     wout_ref,       # [1, g, d, dim] this head's slice of w_out
     *rest,
@@ -738,7 +741,7 @@ def decode_attend_fused(
 
     scal = t.astype(jnp.int32)[None]
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
-    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    gates_bc = gates.astype(rq.dtype)                      # [b, kvh, g, 3]
     wout3 = w_out.reshape(kvh, g, d, dim)
 
     in_specs = [
@@ -750,7 +753,7 @@ def decode_attend_fused(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+        pl.BlockSpec((Bt, 1, g, 3), lambda bi, hi, s, i: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1059,7 +1062,7 @@ def _attend_fused_ragged_kernel(
     kvnew_ref,      # [Bt, 1, 1, 2d]
     msk_ref,        # [Bt, INFO_WIDTH]
     cout_ref,       # [Bt, 1, g, d]
-    gates_ref,      # [Bt, 1, g, 3d]
+    gates_ref,      # [Bt, 1, g, 3] raw branch gates (broadcast in-kernel)
     resid_ref,      # [Bt, 1, dim]
     wout_ref,       # [1, g, d, dim]
     *rest,          # (+ optional FF operands; see _attend_fused_kernel)
@@ -1221,7 +1224,7 @@ def decode_attend_fused_ragged(
     tarr = t.astype(jnp.int32)
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
     tn = jnp.stack([tarr, tarr], axis=1)                   # [b, 2] VMEM view
-    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    gates_bc = gates.astype(rq.dtype)                      # [b, kvh, g, 3]
     wout3 = w_out.reshape(kvh, g, d, dim)
 
     in_specs = [
@@ -1235,7 +1238,7 @@ def decode_attend_fused_ragged(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i: (bi, hi, 0, 0),
+        pl.BlockSpec((Bt, 1, g, 3), lambda bi, hi, s, i: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1328,7 +1331,7 @@ def _attend_fused_paged_kernel(
     kvnew_ref,      # [Bt, 1, 1, 2d]
     msk_ref,        # [Bt, INFO_WIDTH]
     cout_ref,       # [Bt, 1, g, d]
-    gates_ref,      # [Bt, 1, g, 3d]
+    gates_ref,      # [Bt, 1, g, 3] raw branch gates (broadcast in-kernel)
     resid_ref,      # [Bt, 1, dim]
     wout_ref,       # [1, g, d, dim]
     *rest,          # (+ optional FF operands; see _attend_fused_kernel)
@@ -1511,7 +1514,7 @@ def decode_attend_fused_paged(
     idx = info.reshape(b, kvh, INFO_WIDTH)[:, :, :n_slots].astype(jnp.int32)
     pt = page_table.astype(jnp.int32)
     tn = jnp.stack([tarr, tarr], axis=1)                   # [b, 2] VMEM view
-    gates_bc = jnp.repeat(gates.astype(rq.dtype), d, axis=-1)
+    gates_bc = gates.astype(rq.dtype)                      # [b, kvh, g, 3]
     wout3 = w_out.reshape(kvh, g, d, dim)
 
     in_specs = [
@@ -1525,7 +1528,7 @@ def decode_attend_fused_paged(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, g, d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, g, 3 * d), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
+        pl.BlockSpec((Bt, 1, g, 3), lambda bi, hi, s, i, p: (bi, hi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, dim), lambda bi, hi, s, i, p: (bi, 0, 0),
                      memory_space=pltpu.VMEM),

@@ -39,6 +39,20 @@ def param_spec(path, leaf) -> P:
     name = names[-1] if names else ""
     in_compressor = any(n in ("k_compress", "v_compress") for n in names)
 
+    # precomputed fused decode weights (transformer.fuse_decode_params):
+    # per-KV-head packs shard over heads; the concatenated qkv+gate
+    # projection mixes head-major segments with different head strides, so
+    # it replicates (1.5 MB/layer — the TP proj matmul then runs whole-W
+    # per shard, which decode's [b, 1] activations make negligible)
+    if any(n == "decode_fused" for n in names):
+        if name == "w_qkvg":
+            return P()
+        if name == "mem_kv":
+            return P(None, AXIS_HEADS)
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            return P(AXIS_HEADS, *([None] * (leaf.ndim - 1)))
+        return P(AXIS_HEADS)
+
     # grouped compressor weights carry a leading kv_heads axis; check this
     # FIRST so their w1/w2 names don't collide with the FF column/row sets
     # (which would shard dim_in over heads and force resharding traffic)

@@ -37,6 +37,7 @@ from .config import ModelConfig
 from .models.transformer import (
     ModelCache,
     _sample_from_logits,
+    fuse_decode_params,
     init_model_cache,
     transformer_decode_step_ragged,
     transformer_prefill,
@@ -254,6 +255,9 @@ class ContinuousBatchingEngine:
         # continuous batching" line).  GSPMD inserts the collectives; the
         # engine logic is mesh-oblivious beyond placement.
         self.mesh = mesh
+        # pack the fused decode weights once (w_q|w_k|w_v|gate_w concat,
+        # compressor pos/w2/b2) -- per-step XLA concats otherwise
+        params = fuse_decode_params(params, cfg)
         if mesh is not None:
             from .parallel.sharding import shard_params
 

@@ -26,6 +26,7 @@ import numpy as np
 from nsa_tpu.ops.common import lazy_jit
 from nsa_tpu.config import reference_model_config
 from nsa_tpu.models.transformer import (
+    fuse_decode_params,
     init_model_cache,
     init_transformer,
     transformer_decode_step,
@@ -44,6 +45,7 @@ def build_scan(cfg, gen):
 
 
 def time_path(params, cfg, batch, max_len, prompt, gen, reps=5):
+    params = fuse_decode_params(params, cfg)
     cache = init_model_cache(cfg, batch, max_len, jnp.bfloat16)
     cache = cache._replace(seq_len=jnp.asarray(prompt, jnp.int32))
     scan = build_scan(cfg, gen)
