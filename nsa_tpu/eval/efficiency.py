@@ -27,9 +27,13 @@ import numpy as np
 from ..config import ModelConfig
 from ..models.transformer import (
     fuse_decode_params,
+    pack_mega_params,
+    stack_decode_caches,
     transformer_decode_step,
+    transformer_decode_step_mega,
     transformer_forward,
     transformer_prefill,
+    use_mega_decode,
 )
 from ..ops.common import lazy_jit, round_up_mult
 from ..utils.metrics import CSVLogger
@@ -103,6 +107,32 @@ def measure_decode(
     )
     logits, cache = jax.block_until_ready(prefill(params, ids))
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    if cfg.use_sparse_attn and use_mega_decode(cfg, batch_size):
+        # whole-model megakernel: ONE Pallas launch per token step (the
+        # dispatch-bound small-batch regime, ops/pallas/nsa_megakernel.py)
+        mp = pack_mega_params(params, cfg)
+        kv, ckv, ring = stack_decode_caches(cache)
+        t0 = cache.seq_len
+
+        @lazy_jit
+        def decode_scan(mp, first, kv, ckv, ring, t0):
+            def step(carry, i):
+                tok, kv, ckv, ring = carry
+                logits, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, tok, kv, ckv, ring, t0 + i
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, kv, ckv, ring), tok
+
+            (_, _, _, _), toks = jax.lax.scan(
+                step, (first, kv, ckv, ring), jnp.arange(gen_len)
+            )
+            return toks
+
+        dt = _time_fn(decode_scan, mp, first, kv, ckv, ring, t0,
+                      warmup=1, iters=iters, vary=1)
+        return batch_size * gen_len / dt
 
     @lazy_jit
     def decode_scan(p, first, cache):

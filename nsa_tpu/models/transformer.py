@@ -160,6 +160,122 @@ def fuse_decode_params(params: dict, cfg: ModelConfig) -> dict:
     return {**params, "layers": new_layers}
 
 
+def use_mega_decode(cfg: ModelConfig, batch: int) -> bool:
+    """Whether the whole-model decode megakernel applies (one Pallas
+    launch per token step, ops/pallas/nsa_megakernel.py).
+
+    Scope: scalar-position decode at small batch (the dispatch-bound
+    regime the kernel exists for), Pallas impl, gelu FF, the GroupedMLP
+    compressor and shared-KV selection (same constraints as the 2-kernel
+    fused path).  Opt-in via ``NSA_MEGA_DECODE=1`` until the on-chip A/B
+    lands; ``NSA_MEGA_MAX_B`` moves the batch cutover (default 8,
+    matching the fused-path policy boundary measured in r4)."""
+    import os
+
+    nsa = cfg.nsa
+    if os.environ.get("NSA_MEGA_DECODE", "") != "1":
+        return False
+    max_b = int(os.environ.get("NSA_MEGA_MAX_B", "8"))
+    return (
+        cfg.use_sparse_attn
+        and cfg.attn_impl == "pallas"
+        and cfg.ff_kind == "gelu"
+        and nsa.query_heads_share_selected_kv
+        and nsa.num_compress_per_fine > 1
+        and nsa.num_selected_blocks > 0
+        and nsa.compressor == "mlp"
+        and batch <= min(max_b, 8)
+    )
+
+
+def pack_mega_params(params: dict, cfg: ModelConfig) -> dict:
+    """Stack per-layer weights into the [L, ...] arrays the decode
+    megakernel's layer-grid BlockSpecs consume.  Call ONCE wherever params
+    are long-lived (never inside a jitted step).  All weights are cast to
+    the model compute dtype; see ops/pallas/nsa_megakernel.py for the
+    layout contract."""
+    from ..ops.pallas.nsa_megakernel import swap_matrix
+
+    assert cfg.use_sparse_attn and cfg.ff_kind == "gelu"
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    def stack(fn):
+        return jnp.stack([fn(layer) for layer in params["layers"]])
+
+    def cat_qkvg(layer):
+        a = layer["attn"]
+        return jnp.concatenate(
+            [a["w_q"], a["w_k"], a["w_v"], a["gate_w"]], axis=1
+        ).astype(dtype)
+
+    return {
+        "token_emb": params["token_emb"].astype(dtype),
+        "to_logits": params["to_logits"].astype(dtype),
+        "out_norm": params["norm_scale"][None].astype(dtype),
+        "pswap": swap_matrix(cfg.dim_inner),
+        # per-layer VECTORS carry a singleton middle dim: a [L, X] array
+        # blocked (1, X) is Mosaic-illegal (last-two block dims must divide
+        # (8, 128) or equal the array dims); [L, 1, X] blocked (1, 1, X) is
+        "attn_norm": stack(
+            lambda l: l["attn"]["norm_scale"][None].astype(dtype)),
+        "w_qkvg": stack(cat_qkvg),
+        "gate_b": stack(lambda l: l["attn"]["gate_b"][None].astype(dtype)),
+        "mem_kv": stack(lambda l: l["attn"]["mem_kv"].astype(dtype)),
+        "pos_kv": stack(lambda l: jnp.concatenate(
+            [l["attn"]["k_pos"], l["attn"]["v_pos"]], axis=-1
+        ).astype(dtype)),
+        "b1k": stack(lambda l: l["attn"]["k_compress"]["b1"].astype(dtype)),
+        "b1v": stack(lambda l: l["attn"]["v_compress"]["b1"].astype(dtype)),
+        "b2c": stack(lambda l: jnp.concatenate(
+            [l["attn"]["k_compress"]["b2"], l["attn"]["v_compress"]["b2"]],
+            axis=-1,
+        ).astype(dtype)),
+        "w1k": stack(lambda l: l["attn"]["k_compress"]["w1"].astype(dtype)),
+        "w1v": stack(lambda l: l["attn"]["v_compress"]["w1"].astype(dtype)),
+        "w2c": stack(lambda l: jnp.concatenate(
+            [l["attn"]["k_compress"]["w2"], l["attn"]["v_compress"]["w2"]],
+            axis=-1,
+        ).astype(dtype)),
+        "w_out": stack(lambda l: l["attn"]["w_out"].astype(dtype)),
+        "ff_norm": stack(lambda l: l["ff"]["norm_scale"][None].astype(dtype)),
+        "fw1": stack(lambda l: l["ff"]["w1"].astype(dtype)),
+        "fb1": stack(lambda l: l["ff"]["b1"][None].astype(dtype)),
+        "fw2": stack(lambda l: l["ff"]["w2"].astype(dtype)),
+        "fb2": stack(lambda l: l["ff"]["b2"][None].astype(dtype)),
+    }
+
+
+def stack_decode_caches(cache: ModelCache):
+    """ModelCache (per-layer NSADecodeCache tuple) -> stacked
+    (kv [L, ...], ckv [L, ...], ring [L, ...]) for the megakernel."""
+    kv = jnp.stack([lc.kv for lc in cache.layers])
+    ckv = jnp.stack([lc.ckv for lc in cache.layers])
+    ring = jnp.stack([lc.ring for lc in cache.layers])
+    return kv, ckv, ring
+
+
+def transformer_decode_step_mega(
+    mp: dict, cfg: ModelConfig, token: jnp.ndarray, kv, ckv, ring, t
+):
+    """One whole-model decode step through the megakernel:
+    -> (logits [b, vocab] f32, kv, ckv, ring).  ``mp`` from
+    pack_mega_params; caches from stack_decode_caches (updated in place).
+    """
+    from ..ops.pallas.nsa_megakernel import decode_step_mega
+
+    nsa = cfg.nsa
+    Bs = nsa.selection_block_size
+    return decode_step_mega(
+        mp, kv, ckv, ring, token, t,
+        depth=cfg.depth, heads=cfg.heads, kv_heads=cfg.kv_heads,
+        dim_head=cfg.dim_head, stride=nsa.compress_block_sliding_stride,
+        sel_block=Bs, num_sel=nsa.num_selected_blocks,
+        n_slide=-(-nsa.sliding_window_size // Bs) + 1,
+        window=nsa.sliding_window_size, scale=cfg.dim_head ** -0.5,
+        eps=cfg.norm_eps, theta=cfg.rope_theta,
+    )
+
+
 def _ff_apply(params, cfg: ModelConfig, x):
     h = rms_norm(x, params["norm_scale"], cfg.norm_eps)
     if cfg.ff_kind == "swiglu":

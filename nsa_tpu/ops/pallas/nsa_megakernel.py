@@ -1,0 +1,578 @@
+"""Whole-model decode megakernel: ONE Pallas launch per token step.
+
+Round-4 attack on the bs-1 decode floor (RESULTS.md r4): on this backend
+decode latency is launch-count x ~12-25 us, and the fused 2-kernel layer
+step still pays 12 Pallas launches + an XLA preamble chain per step at
+batch 1 (~0.19 ms/step vs full attention's 0.066).  This kernel runs the
+ENTIRE decode step — token embedding, all ``depth`` transformer layers
+(RMSNorm, fused qkv+gate projection, rotary, compressed attention +
+selection + conditional emission, block-gather fine+sliding attention,
+output projection + residual, feed-forward), final RMSNorm and the LM
+head — in a single ``pallas_call`` with ``grid=(depth,)``:
+
+* per-layer weights are STACKED ``[L, ...]`` arrays delivered through
+  blocked ``BlockSpec``s with ``index_map=lambda l: (l, ...)`` — Pallas's
+  grid pipeline prefetches layer ``l+1``'s weights from HBM while layer
+  ``l`` computes, which is exactly the double-buffering a bs-1 step needs
+  to run at the weight-read bandwidth floor;
+* the residual stream lives in a VMEM scratch that persists across grid
+  steps (the layer loop);
+* the kv / ckv / ring caches are stacked ``[L, ...]`` buffers aliased
+  in-place; reads and writes use the same aligned-window DMA discipline
+  as the 2-kernel path (``nsa_decode_fused.py``);
+* rotary is applied as ``x * cos_vec + (x @ P_swap) * sin_vec`` where
+  ``P_swap`` is the constant even<->odd lane permutation as a matrix —
+  the MXU is the Mosaic-legal lane shuffler (a strided even/odd extract
+  is not), and the per-step cos/sin lane vectors arrive precomputed;
+* the GroupedMLP compressor weights stay in HBM and are DMA'd per head
+  ONLY on emission steps (1 in ``stride``), as in ``decode_select_emit``;
+* selected-block ids are computed in-kernel (the 2-kernel path routes
+  them through XLA + scalar prefetch) and turned into DMA addresses via
+  masked lane reductions to scalars.
+
+The attention/selection math is NOT reimplemented: this kernel calls the
+same ``_select_math`` / ``_attend_math`` / ``_ff_tail`` bodies as the
+fused 2-kernel path (scratch refs stand in for the operand refs), so the
+NSA semantics live in exactly one place per branch.  Equivalence against
+the layer-by-layer decode path is pinned by tests/test_megakernel.py.
+
+Reference semantics: native_sparse_attention.py:338-547
+(forward_inference) with the prefill masking rule (see ops/nsa.py module
+docstring); the reference has no analogue of this fusion (its decode hot
+loop is per-layer Python, transformer.py:273-312).
+
+Scope: scalar-position decode (one shared ``t``), batch <= 8 (the bs-1
+regime this kernel exists for); serving's ragged pools keep the 2-kernel
+path whose launch count is already pool-size-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nsa_decode import INFO_WIDTH
+from .nsa_decode_fused import _attend_math, _ff_tail, _hbm_spec, _select_math
+from .runtime import resolve_interpret
+
+
+def swap_matrix(dim_inner: int) -> jnp.ndarray:
+    """Constant [dim_inner, dim_inner] even<->odd lane permutation.
+
+    ``x @ swap_matrix`` swaps each interleaved rotary pair (2i, 2i+1) —
+    the matmul form of the lane shuffle rotary needs, which Mosaic can
+    always lower (a strided lane extract is not generally legal)."""
+    import numpy as np
+
+    idx = np.arange(dim_inner) ^ 1
+    m = np.zeros((dim_inner, dim_inner), np.float32)
+    m[idx, np.arange(dim_inner)] = 1.0
+    return jnp.asarray(m)
+
+
+def rotary_lane_vectors(t, dim_head: int, heads: int, theta: float):
+    """Per-step cos/sin lane vectors for the in-kernel rotary matmul form.
+
+    Returns [2, heads*dim_head] float32: row 0 = cos at every lane, row 1
+    = the signed sin such that ``rot(x) = x*cos_vec + swap(x)*sin_vec``
+    reproduces ops/rotary.apply_rotary's interleaved convention
+    (rot[2i] = x[2i]cos - x[2i+1]sin; rot[2i+1] = x[2i]sin + x[2i+1]cos).
+    """
+    exponent = jnp.arange(0, dim_head, 2, dtype=jnp.float32) / dim_head
+    inv_freq = 1.0 / (theta ** exponent)                    # [d/2]
+    ang = t.astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    cvec = jnp.repeat(cos, 2)                               # [d]
+    svec = jnp.stack([-sin, sin], axis=-1).reshape(-1)      # [d]
+    return jnp.stack([jnp.tile(cvec, heads), jnp.tile(svec, heads)])
+
+
+def _extract_scalar(row, lane: int):
+    """Pull lane ``lane`` of a [1, W] int32 vector out as a 0-d scalar via
+    a masked lane reduction (the guide-blessed vreg->sreg route; a direct
+    ref element read would also work but reductions are the documented
+    path for scalar extraction on TPU)."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.max(jnp.where(ids == lane, row, -(2 ** 30)))
+
+
+def _mega_kernel(
+    # scalar prefetch
+    scal_ref,       # SMEM [4]: t, num_cb, emit, slot
+    tok_ref,        # SMEM [b]: this step's token ids
+    # per-step operands (constant over the layer grid)
+    cs_ref,         # [2, din] f32: rotary cos / signed-sin lane vectors
+    pswap_ref,      # [din, din] f32 even<->odd pair permutation
+    emb_hbm,        # ANY [vocab, dim] token embedding (model dtype)
+    onorm_ref,      # [1, dim] final norm scale
+    tolog_ref,      # [dim, vocab] LM head
+    # stacked per-layer weights (blocked on the layer grid dim; per-layer
+    # VECTORS carry a singleton middle dim for block-shape legality)
+    anorm_ref,      # [1, 1, dim] attn norm scale
+    wqkvg_ref,      # [1, dim, P] fused q|k|v|gate projection
+    gateb_ref,      # [1, 1, 3h] gate bias
+    memkv_ref,      # [1, 2, kvh, M, d]
+    poskv_ref,      # [1, kvh, Bc, 2d] packed k_pos||v_pos
+    b1k_ref,        # [1, kvh, hid]
+    b1v_ref,        # [1, kvh, hid]
+    b2c_ref,        # [1, kvh, 2d]
+    w1k_hbm,        # ANY [L, kvh, Bc*d, hid] (DMA'd on emission steps)
+    w1v_hbm,        # ANY [L, kvh, Bc*d, hid]
+    w2c_hbm,        # ANY [L, kvh, hid, 2d]
+    wout_ref,       # [1, din, dim]
+    fnorm_ref,      # [1, 1, dim] FF norm scale
+    fw1_ref,        # [1, dim, hid4]
+    fb1_ref,        # [1, 1, hid4]
+    fw2_ref,        # [1, hid4, dim]
+    fb2_ref,        # [1, 1, dim]
+    # stacked caches
+    ckv_ref,        # [1, b, kvh, Wc, 2d] VMEM (pre-update view; aliased)
+    ring_ref,       # [1, b, kvh, Bc, 2d] VMEM (aliased -> ring_out)
+    kv_hbm,         # ANY [L, b, kvh, max_len, 2d] (aliased -> kv_out)
+    # outputs
+    logits_ref,     # [b, vocab] f32
+    ckv_out,        # ANY, aliased
+    ring_out,       # [1, b, kvh, Bc, 2d], aliased
+    kv_out,         # ANY, aliased
+    # scratch
+    x_s,            # [b, dim] model dtype — residual stream, persists
+    q_s,            # [b, 1, g, d]
+    rq_s,           # [b, 1, g, d]
+    cout_s,         # [b, 1, g, d]
+    gates_s,        # [b, 1, g, 3]
+    info_s,         # [b, INFO_WIDTH] int32
+    fkv_s,          # [b, n_slots*Bs, 2d]
+    wkv_s,          # [b, 8, 2d] kv-row RMW window
+    wck_s,          # [b, 8, 2d] ckv-slot RMW window
+    embw_s,         # [8, dim] embedding-row window
+    w1k_s,          # [Bc*d, hid]
+    w1v_s,          # [Bc*d, hid]
+    w2c_s,          # [hid, 2d]
+    cand_s,         # [b, 2d]
+    gsems,          # DMA (n_slots,)
+    wsem,           # DMA ()
+    csem,           # DMA (3,)
+    esem,           # DMA ()
+    *, scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
+    eps, depth,
+):
+    l = pl.program_id(0)
+    t = scal_ref[0]
+    num_cb = scal_ref[1]
+    emit = scal_ref[2]
+    slot = scal_ref[3]
+    b, dim = x_s.shape
+    g, d = q_s.shape[2], q_s.shape[3]
+    kvh = ring_ref.shape[2]
+    Bc = ring_ref.shape[3]
+    Wc = ckv_ref.shape[3]
+    hid = w1k_s.shape[1]
+    din = wout_ref.shape[1]
+    heads_ = din // d
+    dkv = kvh * d
+    Bs = sel_block
+    n_slots = num_sel + n_slide
+    mdt = x_s.dtype
+    cdt = fkv_s.dtype
+
+    # ---- token embedding (first layer step only) --------------------------
+    # vocab rows are 8-sublane tiled: read the aligned window, select the row
+    @pl.when(l == 0)
+    def _embed():
+        for r in range(b):
+            tok = tok_ref[r]
+            base = pl.multiple_of((tok // 8) * 8, 8)
+            cp = pltpu.make_async_copy(
+                emb_hbm.at[pl.ds(base, 8), :], embw_s, esem)
+            cp.start()
+            cp.wait()
+            ri = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
+            row = jnp.sum(
+                jnp.where(ri == tok - base,
+                          embw_s[...].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True,
+            )
+            x_s[r:r + 1, :] = row.astype(mdt)
+
+    # ---- pre-attention norm + fused qkv|gate projection --------------------
+    x = x_s[...]                                            # [b, dim] mdt
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)
+              * anorm_ref[0, 0].astype(jnp.float32)).astype(mdt)
+    proj = jax.lax.dot_general(
+        normed, wqkvg_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(mdt)                                           # [b, P]
+    qf = proj[:, :din]
+    kf = proj[:, din:din + dkv]
+    vf = proj[:, din + dkv:din + 2 * dkv]
+    gl = proj[:, din + 2 * dkv:]
+    gates = jax.nn.sigmoid(gl + gateb_ref[0, 0].astype(mdt))  # [b, 3h] mdt
+
+    # ---- rotary at position t (matmul lane-swap form, f32 like the XLA path)
+    cvec = cs_ref[0:1, :]
+    svec = cs_ref[1:2, :]
+    qf32 = qf.astype(jnp.float32)
+    qsw = jax.lax.dot_general(
+        qf32, pswap_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rqf = (qf32 * cvec + qsw * svec).astype(mdt)
+    kf32 = kf.astype(jnp.float32)
+    ksw = jax.lax.dot_general(
+        kf32, pswap_ref[:dkv, :dkv], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rkf = (kf32 * cvec[:, :dkv] + ksw * svec[:, :dkv]).astype(mdt)
+
+    y = None                                                # f32 [b, dim]
+    for hi in range(kvh):
+        # ---- per-head operand staging (scratch refs stand in for the
+        # 2-kernel path's blocked operands) ---------------------------------
+        for gi in range(g):
+            hq = (hi * g + gi) * d
+            q_s[:, 0, gi, :] = qf[:, hq:hq + d].astype(q_s.dtype)
+            rq_s[:, 0, gi, :] = rqf[:, hq:hq + d].astype(rq_s.dtype)
+            # extract this head's 3 gate lanes (offset 3*(hi*g+gi), not
+            # lane-aligned) via an iota-built 0/1 selection matmul — the
+            # MXU is the always-legal lane shuffler
+            rows = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 1)
+            esel = (rows == 3 * (hi * g + gi) + cols).astype(jnp.float32)
+            g3 = jax.lax.dot_general(
+                gates.astype(jnp.float32), esel,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # [b, 3]
+            gates_s[:, 0, gi, :] = g3.astype(gates_s.dtype)
+        k_u = kf[:, hi * d:(hi + 1) * d]
+        v_u = vf[:, hi * d:(hi + 1) * d]
+        rk_u = rkf[:, hi * d:(hi + 1) * d]
+        new_unrot = jnp.concatenate([k_u, v_u], axis=-1).astype(cdt)
+        new_rot = jnp.concatenate([rk_u, v_u], axis=-1).astype(cdt)
+
+        # ---- kv-row RMW: start the aligned-window read early so it overlaps
+        # the select math (same discipline as decode_attend_fused) ----------
+        kvbase = pl.multiple_of(
+            jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
+        roff = t - kvbase
+        rd = pltpu.make_async_copy(
+            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_s, wsem)
+        rd.start()
+
+        # ---- ring shift (every step) ---------------------------------------
+        ring_blk = ring_ref[0, :, hi]                       # [b, Bc, 2d]
+        shifted = jnp.concatenate(
+            [ring_blk[:, 1:], new_unrot[:, None, :]], axis=1)
+        ring_out[0, :, hi] = shifted
+
+        # ---- predicated compressed-block emission --------------------------
+        # (weights DMA'd from HBM only on emission steps; see
+        # decode_select_emit for the shared rationale)
+        @pl.when(emit == 1)
+        def _emit():
+            cp1 = pltpu.make_async_copy(w1k_hbm.at[l, hi], w1k_s, csem.at[0])
+            cp2 = pltpu.make_async_copy(w1v_hbm.at[l, hi], w1v_s, csem.at[1])
+            cp3 = pltpu.make_async_copy(w2c_hbm.at[l, hi], w2c_s, csem.at[2])
+            cp1.start()
+            cp2.start()
+            cp3.start()
+            cp1.wait()
+            cp2.wait()
+            cp3.wait()
+            row_pos = (t + 1 - Bc) + jax.lax.broadcasted_iota(
+                jnp.int32, (b, Bc, 2 * d), 1)
+            win = jnp.where(row_pos >= 0, shifted, 0.0)
+            win = win + poskv_ref[0, hi][None].astype(win.dtype)
+            hk = jnp.zeros((b, hid), jnp.float32)
+            hv = jnp.zeros((b, hid), jnp.float32)
+            for j in range(Bc):
+                hk = hk + jax.lax.dot_general(
+                    win[:, j, :d], w1k_s[j * d:(j + 1) * d, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hv = hv + jax.lax.dot_general(
+                    win[:, j, d:], w1v_s[j * d:(j + 1) * d, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            hk = jax.nn.relu(hk + b1k_ref[0, hi].astype(jnp.float32))
+            hv = jax.nn.relu(hv + b1v_ref[0, hi].astype(jnp.float32))
+            hk = hk.astype(cand_s.dtype)
+            hv = hv.astype(cand_s.dtype)
+            ck_ = jax.lax.dot_general(
+                hk, w2c_s[:, :d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2c_ref[0, hi, :d].astype(jnp.float32)
+            cv_ = jax.lax.dot_general(
+                hv, w2c_s[:, d:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2c_ref[0, hi, d:].astype(jnp.float32)
+            cand_s[:, :d] = ck_.astype(cand_s.dtype)
+            cand_s[:, d:] = cv_.astype(cand_s.dtype)
+            cbase = pl.multiple_of(
+                jnp.minimum((slot // 8) * 8, Wc - 8), 8)
+            crd = pltpu.make_async_copy(
+                ckv_out.at[l, :, hi, pl.ds(cbase, 8), :], wck_s, csem.at[0])
+            crd.start()
+            crd.wait()
+            ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+            for r in range(b):
+                wck_s[r] = jnp.where(
+                    ri == slot - cbase, cand_s[r:r + 1, :], wck_s[r])
+            cwr = pltpu.make_async_copy(
+                wck_s, ckv_out.at[l, :, hi, pl.ds(cbase, 8), :], csem.at[0])
+            cwr.start()
+            cwr.wait()
+
+        # ---- compressed attention + selection (pre-update ckv block) ------
+        _select_math(
+            t, num_cb, q_s, ckv_ref.at[0, :, pl.ds(hi, 1)],
+            memkv_ref.at[0, 0, pl.ds(hi, 1)],
+            memkv_ref.at[0, 1, pl.ds(hi, 1)],
+            cout_s, info_s,
+            scale=scale, stride=stride, sel_block=sel_block,
+            num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
+        )
+
+        # ---- commit the new kv row, then gather selected + trailing blocks
+        rd.wait()
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+        for r in range(b):
+            wkv_s[r] = jnp.where(ri8 == roff, new_rot[r:r + 1, :], wkv_s[r])
+        wr = pltpu.make_async_copy(
+            wkv_s, kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wsem)
+        wr.start()
+        pending = []
+        for r in range(b):
+            irow = info_s[r:r + 1, :]                       # [1, 128] value
+            for s in range(num_sel):
+                blk = _extract_scalar(irow, s)
+                cp = pltpu.make_async_copy(
+                    kv_out.at[l, r, hi, pl.ds(blk * Bs, Bs), :],
+                    fkv_s.at[r, pl.ds(s * Bs, Bs), :],
+                    gsems.at[s],
+                )
+                cp.start()
+                pending.append(cp)
+        last_blk = t // Bs
+        for j in range(n_slide - 1):
+            blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
+            cp = pltpu.make_async_copy(
+                kv_out.at[l, :, hi, pl.ds(blk * Bs, Bs), :],
+                fkv_s.at[:, pl.ds((num_sel + j) * Bs, Bs), :],
+                gsems.at[num_sel + j],
+            )
+            cp.start()
+            pending.append(cp)
+        wr.wait()
+        # the diagonal block contains the row just committed: read it back
+        # so the current token attends to itself
+        diag = jnp.clip(last_blk, 0, max_blocks - 1)
+        cp = pltpu.make_async_copy(
+            kv_out.at[l, :, hi, pl.ds(diag * Bs, Bs), :],
+            fkv_s.at[:, pl.ds((n_slots - 1) * Bs, Bs), :],
+            gsems.at[n_slots - 1],
+        )
+        cp.start()
+        pending.append(cp)
+        for cp in pending:
+            cp.wait()
+
+        # ---- fine + sliding + gate combine ---------------------------------
+        combined = _attend_math(
+            t, rq_s, fkv_s[:, :, :], info_s, cout_s, gates_s,
+            scale=scale, sel_block=sel_block, window=window,
+            num_sel=num_sel, n_slide=n_slide,
+        )                                                   # [b, g, d] f32
+        comb16 = combined.astype(cdt)
+        for gi in range(g):
+            wsl = wout_ref[0, (hi * g + gi) * d:(hi * g + gi + 1) * d, :]
+            pg = jax.lax.dot_general(
+                comb16[:, gi, :], wsl.astype(cdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # [b, dim]
+            y = pg if y is None else y + pg
+
+    # ---- residual + feed-forward ------------------------------------------
+    y32 = x.astype(jnp.float32) + y
+    out32 = _ff_tail(
+        y32, mdt, fnorm_ref.at[0], fb1_ref.at[0], fb2_ref.at[0],
+        fw1_ref.at[0], fw2_ref.at[0], eps=eps,
+    )
+    x_s[...] = out32.astype(mdt)
+
+    # ---- final norm + LM head (last layer step) -----------------------------
+    @pl.when(l == depth - 1)
+    def _logits():
+        xo = x_s[...].astype(jnp.float32)
+        v2 = jnp.mean(xo * xo, axis=-1, keepdims=True)
+        onormed = (xo * jax.lax.rsqrt(v2 + eps)
+                   * onorm_ref[0].astype(jnp.float32)).astype(mdt)
+        lg = jax.lax.dot_general(
+            onormed, tolog_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # match the XLA path's bf16-matmul output rounding before the f32 cast
+        logits_ref[...] = lg.astype(mdt).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
+                     "sel_block", "num_sel", "n_slide", "window", "scale",
+                     "eps", "theta", "interpret"),
+)
+def decode_step_mega(
+    mp: dict,
+    kv: jnp.ndarray,         # [L, b, kvh, max_len, 2d] (donated)
+    ckv: jnp.ndarray,        # [L, b, kvh, Wc, 2d] (donated)
+    ring: jnp.ndarray,       # [L, b, kvh, Bc, 2d] (donated)
+    token: jnp.ndarray,      # [b] int32
+    t: jnp.ndarray,          # scalar int32: tokens already cached
+    *, depth: int, heads: int, kv_heads: int, dim_head: int, stride: int,
+    sel_block: int, num_sel: int, n_slide: int, window: int, scale: float,
+    eps: float, theta: float, interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One whole-model decode step -> (logits [b, vocab] f32, kv, ckv, ring).
+
+    ``mp`` is the stacked parameter dict from
+    models.transformer.pack_mega_params.  The caches are stacked across
+    layers and updated in place (aliased).
+    """
+    L, b, kvh, max_len, _2d = kv.shape
+    d = dim_head
+    g = heads // kv_heads
+    Wc = ckv.shape[3]
+    Bc = ring.shape[3]
+    dim = mp["token_emb"].shape[1]
+    vocab = mp["to_logits"].shape[1]
+    hid = mp["w1k"].shape[3]
+    hid4 = mp["fw1"].shape[2]
+    P = mp["w_qkvg"].shape[2]
+    n_slots = num_sel + n_slide
+    max_blocks = max_len // sel_block
+    interpret = resolve_interpret(interpret)
+    assert b <= 8, "megakernel decode targets the small-batch regime"
+
+    t = t.astype(jnp.int32)
+    num_cb = t // stride
+    run_fill = (Bc - stride) + t - num_cb * stride
+    emit = (run_fill + 1 == Bc).astype(jnp.int32)
+    slot = jnp.clip(num_cb, 0, Wc - 1)
+    scal = jnp.stack([t, num_cb, emit, slot])
+    cs = rotary_lane_vectors(t, d, heads, theta)            # [2, din]
+
+    cdt = kv.dtype
+    mdt = mp["token_emb"].dtype
+
+    def c(ix):
+        """index_map for operands constant over the layer grid."""
+        return lambda l, s, tk: ix
+
+    def per_l(nd):
+        """index_map for [L, ...] stacked operands blocked on the grid."""
+        return lambda l, s, tk: (l,) + (0,) * nd
+
+    M = mp["mem_kv"].shape[3]
+    in_specs = [
+        pl.BlockSpec((2, heads * d), c((0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads * d, heads * d), c((0, 0)),
+                     memory_space=pltpu.VMEM),
+        _hbm_spec(interpret),                                   # emb
+        pl.BlockSpec((1, dim), c((0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim, vocab), c((0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dim, P), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3 * heads), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, kvh, M, d), per_l(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvh, Bc, 2 * d), per_l(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvh, hid), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvh, hid), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvh, 2 * d), per_l(2), memory_space=pltpu.VMEM),
+        _hbm_spec(interpret),                                   # w1k
+        _hbm_spec(interpret),                                   # w1v
+        _hbm_spec(interpret),                                   # w2c
+        pl.BlockSpec((1, heads * d, dim), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dim, hid4), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hid4), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hid4, dim), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, kvh, Wc, 2 * d), per_l(4),
+                     memory_space=pltpu.VMEM),                  # ckv
+        pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
+                     memory_space=pltpu.VMEM),                  # ring
+        _hbm_spec(interpret),                                   # kv
+    ]
+    operands = [
+        cs, mp["pswap"], mp["token_emb"], mp["out_norm"], mp["to_logits"],
+        mp["attn_norm"], mp["w_qkvg"], mp["gate_b"], mp["mem_kv"],
+        mp["pos_kv"], mp["b1k"], mp["b1v"], mp["b2c"],
+        mp["w1k"], mp["w1v"], mp["w2c"], mp["w_out"],
+        mp["ff_norm"], mp["fw1"], mp["fb1"], mp["fw2"], mp["fb2"],
+        ckv, ring, kv,
+    ]
+    # operand numbering includes the two scalar-prefetch args
+    ckv_ix = 2 + len(operands) - 3
+    ring_ix = ckv_ix + 1
+    kv_ix = ckv_ix + 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(depth,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((b, vocab), c((0, 0)), memory_space=pltpu.VMEM),
+            _hbm_spec(interpret),                               # ckv (aliased)
+            pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
+                         memory_space=pltpu.VMEM),              # ring (aliased)
+            _hbm_spec(interpret),                               # kv (aliased)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, dim), mdt),                          # x_s
+            pltpu.VMEM((b, 1, g, d), mdt),                      # q_s
+            pltpu.VMEM((b, 1, g, d), mdt),                      # rq_s
+            pltpu.VMEM((b, 1, g, d), mdt),                      # cout_s
+            pltpu.VMEM((b, 1, g, 3), mdt),                      # gates_s
+            pltpu.VMEM((b, INFO_WIDTH), jnp.int32),             # info_s
+            pltpu.VMEM((b, n_slots * sel_block, 2 * d), cdt),   # fkv_s
+            pltpu.VMEM((b, 8, 2 * d), cdt),                     # wkv_s
+            pltpu.VMEM((b, 8, 2 * d), cdt),                     # wck_s
+            pltpu.VMEM((8, dim), mdt),                          # embw_s
+            pltpu.VMEM((Bc * d, hid), cdt),                     # w1k_s
+            pltpu.VMEM((Bc * d, hid), cdt),                     # w1v_s
+            pltpu.VMEM((hid, 2 * d), cdt),                      # w2c_s
+            pltpu.VMEM((b, 2 * d), cdt),                        # cand_s
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    logits, new_ckv, new_ring, new_kv = pl.pallas_call(
+        functools.partial(
+            _mega_kernel, scale=scale, stride=stride, sel_block=sel_block,
+            num_sel=num_sel, n_slide=n_slide, window=window,
+            max_blocks=max_blocks, eps=eps, depth=depth,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, vocab), jnp.float32),
+            jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+        ),
+        input_output_aliases={ckv_ix: 1, ring_ix: 2, kv_ix: 3},
+        interpret=interpret,
+    )(scal, token.astype(jnp.int32), *operands)
+    return logits, new_kv, new_ckv, new_ring

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""On-chip validation + A/B timing of the whole-model decode megakernel.
+
+Three gates, in order (fast signal before any long benchmark):
+
+1. COMPILE+RUN: one megakernel step at the reference config (bf16,
+   max_len 4096) — catches Mosaic legality issues (stacked ref
+   transforms, vector->scalar extraction feeding DMA addresses, the
+   lane-swap rotary matmul, iota-matmul gate extraction).
+2. CORRECTNESS: greedy rollout vs the layer-by-layer decode path in the
+   same process — tokens must match and logits stay within bf16
+   tolerance across emission boundaries.
+3. TIMING: gen-N decode scan, megakernel vs the fused 2-kernel path vs
+   full attention, at bs 1 (the dispatch-bound regime this kernel
+   exists for; RESULTS.md r4 "bs-1 device floor is launch-count").
+
+  python scripts/tpu_mega_smoke.py [--batch 1] [--gen 200] [--prompt 128]
+  python scripts/tpu_mega_smoke.py --skip-timing      # gates 1+2 only
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--cpu" in sys.argv:
+    # JAX_PLATFORMS is ignored once the axon TPU plugin registers; the
+    # config route (as in tests/conftest.py) is the one that works
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_tpu.config import reference_model_config
+from nsa_tpu.eval.efficiency import _time_fn
+from nsa_tpu.models.transformer import (
+    fuse_decode_params,
+    init_transformer,
+    pack_mega_params,
+    stack_decode_caches,
+    transformer_decode_step,
+    transformer_decode_step_mega,
+    transformer_prefill,
+)
+from nsa_tpu.ops.common import lazy_jit
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def decode_scan_mega(cfg, gen):
+    @lazy_jit
+    def scan(mp, first, kv, ckv, ring, t0):
+        def step(carry, i):
+            tok, kv, ckv, ring = carry
+            lg, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t0 + i)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (nxt, kv, ckv, ring), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (first, kv, ckv, ring), jnp.arange(gen))
+        return toks
+    return scan
+
+
+def decode_scan_layers(cfg, gen):
+    @lazy_jit
+    def scan(p, first, cache):
+        def step(carry, _):
+            tok, cache = carry
+            lg, cache = transformer_decode_step(p, cfg, tok, cache)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (nxt, cache), tok
+
+        (_, _), toks = jax.lax.scan(step, (first, cache), None, length=gen)
+        return toks
+    return scan
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--gen", type=int, default=200)
+    ap.add_argument("--max-len", type=int, default=4096)
+    ap.add_argument("--skip-timing", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 (CPU interpret dry-runs; TPU uses bf16)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled at import)")
+    args = ap.parse_args()
+    b, gen = args.batch, args.gen
+    DT = jnp.float32 if args.f32 else jnp.bfloat16
+
+    cfg = reference_model_config("mlp").replace(
+        dtype="float32" if args.f32 else "bfloat16",
+        attn_impl="pallas", attn_chunk_size=128)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(DT), params)
+    params = fuse_decode_params(params, cfg)
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (b, args.prompt), 0, cfg.vocab_size)
+
+    log(f"prefill (bs {b}, prompt {args.prompt}, max_len {args.max_len})...")
+    prefill = lazy_jit(
+        lambda p, i: transformer_prefill(p, cfg, i, args.max_len))
+    logits, cache = jax.block_until_ready(prefill(params, prompt))
+    first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    log("prefill ok")
+
+    # ---- gate 1: megakernel compiles + runs --------------------------------
+    mp = pack_mega_params(params, cfg)
+    kv, ckv, ring = stack_decode_caches(cache)
+    t0 = cache.seq_len
+    log("compiling megakernel step (2-10 min cold)...")
+    lg, kv, ckv, ring = jax.block_until_ready(
+        transformer_decode_step_mega(mp, cfg, first, kv, ckv, ring, t0))
+    log(f"megakernel step ok; logits[0,:3]={np.asarray(lg)[0, :3]}")
+
+    # ---- gate 2: rollout equivalence vs the layer path ---------------------
+    steps = 24  # crosses 3 emission boundaries at stride 8
+    tok, c = first, cache
+    ref_toks, ref_last = [], None
+    for _ in range(steps):
+        lg_r, c = transformer_decode_step(params, cfg, tok, c)
+        tok = jnp.argmax(lg_r, -1).astype(jnp.int32)
+        ref_toks.append(np.asarray(tok).copy())
+        ref_last = lg_r
+    kv, ckv, ring = stack_decode_caches(cache)
+    tok = first
+    mega_toks, mega_last = [], None
+    for i in range(steps):
+        lg_m, kv, ckv, ring = transformer_decode_step_mega(
+            mp, cfg, tok, kv, ckv, ring, t0 + i)
+        tok = jnp.argmax(lg_m, -1).astype(jnp.int32)
+        mega_toks.append(np.asarray(tok).copy())
+        mega_last = lg_m
+    same = all((a == m).all() for a, m in zip(ref_toks, mega_toks))
+    diff = float(np.abs(np.asarray(ref_last) - np.asarray(mega_last)).max())
+    log(f"rollout {steps} steps: tokens_match={same} "
+        f"last_logit_maxdiff={diff:.4f}")
+    if not same:
+        first_div = next(i for i, (a, m) in enumerate(
+            zip(ref_toks, mega_toks)) if not (a == m).all())
+        log(f"FAIL: first divergence at step {first_div}")
+        sys.exit(1)
+
+    if args.skip_timing:
+        log("smoke ok (timing skipped)")
+        return
+
+    # ---- gate 3: timing A/B -------------------------------------------------
+    log(f"timing megakernel scan (gen {gen})...")
+    kv, ckv, ring = stack_decode_caches(cache)
+    scan_m = decode_scan_mega(cfg, gen)
+    dt_m = _time_fn(scan_m, mp, first, kv, ckv, ring, t0,
+                    warmup=1, iters=5, vary=1)
+    log(f"mega: {dt_m * 1e3 / gen:.4f} ms/step "
+        f"({b * gen / dt_m:.0f} tok/s)")
+
+    log("timing fused 2-kernel path scan...")
+    scan_l = decode_scan_layers(cfg, gen)
+    dt_l = _time_fn(scan_l, params, first, cache, warmup=1, iters=5, vary=1)
+    log(f"fused-2k: {dt_l * 1e3 / gen:.4f} ms/step "
+        f"({b * gen / dt_l:.0f} tok/s)")
+
+    log("timing full attention scan...")
+    cfg_f = reference_model_config(
+        "mlp", use_sparse_attn=False).replace(
+        dtype="float32" if args.f32 else "bfloat16",
+        attn_impl="xla", attn_chunk_size=128)
+    params_f = jax.tree_util.tree_map(
+        lambda x: x.astype(DT),
+        init_transformer(jax.random.PRNGKey(0), cfg_f))
+    prefill_f = lazy_jit(
+        lambda p, i: transformer_prefill(p, cfg_f, i, args.max_len))
+    lg_f, cache_f = jax.block_until_ready(prefill_f(params_f, prompt))
+    first_f = jnp.argmax(lg_f[:, -1], -1).astype(jnp.int32)
+    scan_f = decode_scan_layers(cfg_f, gen)
+    dt_f = _time_fn(scan_f, params_f, first_f, cache_f,
+                    warmup=1, iters=5, vary=1)
+    log(f"full-attn: {dt_f * 1e3 / gen:.4f} ms/step "
+        f"({b * gen / dt_f:.0f} tok/s)")
+    log(f"SUMMARY bs={b} gen={gen} max_len={args.max_len}: "
+        f"mega {dt_m * 1e3 / gen:.4f} ms | fused {dt_l * 1e3 / gen:.4f} ms "
+        f"| full {dt_f * 1e3 / gen:.4f} ms | mega/full = {dt_f / dt_m:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

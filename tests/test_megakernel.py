@@ -1,0 +1,158 @@
+"""Whole-model decode megakernel == layer-by-layer decode path.
+
+The megakernel (ops/pallas/nsa_megakernel.py) runs the ENTIRE decode step
+in one pallas_call; these tests pin it token-for-token (and cache-state-
+for-cache-state) against the per-layer ``transformer_decode_step`` path
+across compression-emission boundaries, the same invariant class
+tests/test_decode_equivalence.py pins for prefill==decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_tpu.config import tiny_test_config
+from nsa_tpu.models.transformer import (
+    init_transformer,
+    pack_mega_params,
+    stack_decode_caches,
+    transformer_decode_step,
+    transformer_decode_step_mega,
+    transformer_prefill,
+)
+
+
+def _cfg(**kw):
+    return tiny_test_config(attn_impl="pallas", **kw)
+
+
+def _rollout(cfg, b, prompt_len, steps, seed=0):
+    """Run `steps` greedy decode steps on both paths; return per-step
+    logits and the final caches from each."""
+    key = jax.random.PRNGKey(seed)
+    params = init_transformer(key, cfg)
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(seed + 1), (b, prompt_len), 0, cfg.vocab_size
+    )
+    max_len = 64
+    logits, cache = transformer_prefill(params, cfg, prompt, max_len)
+    first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+    # --- reference: layer-by-layer decode ---------------------------------
+    ref_logits = []
+    tok, c = first, cache
+    for _ in range(steps):
+        lg, c = transformer_decode_step(params, cfg, tok, c)
+        ref_logits.append(lg)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    ref_cache = c
+
+    # --- megakernel --------------------------------------------------------
+    mp = pack_mega_params(params, cfg)
+    kv, ckv, ring = stack_decode_caches(cache)
+    mega_logits = []
+    tok = first
+    t = cache.seq_len
+    for i in range(steps):
+        lg, kv, ckv, ring = transformer_decode_step_mega(
+            mp, cfg, tok, kv, ckv, ring, t + i
+        )
+        mega_logits.append(lg)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+
+    return ref_logits, mega_logits, ref_cache, (kv, ckv, ring)
+
+
+class TestMegakernelEquivalence:
+    def test_logits_match_across_emission_boundaries(self):
+        cfg = _cfg()
+        # stride=2: 10 steps cross several compressed-block emissions
+        ref, mega, _, _ = _rollout(cfg, b=1, prompt_len=9, steps=10)
+        for i, (a, m) in enumerate(zip(ref, mega)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(m), rtol=2e-4, atol=2e-4,
+                err_msg=f"step {i}",
+            )
+
+    def test_greedy_tokens_identical(self):
+        cfg = _cfg()
+        ref, mega, _, _ = _rollout(cfg, b=1, prompt_len=13, steps=12)
+        ref_toks = [int(np.asarray(jnp.argmax(a, -1))[0]) for a in ref]
+        mega_toks = [int(np.asarray(jnp.argmax(m, -1))[0]) for m in mega]
+        assert ref_toks == mega_toks
+
+    def test_cache_state_matches(self):
+        cfg = _cfg()
+        _, _, ref_cache, (kv, ckv, ring) = _rollout(
+            cfg, b=1, prompt_len=9, steps=8
+        )
+        for l, lc in enumerate(ref_cache.layers):
+            np.testing.assert_allclose(
+                np.asarray(lc.kv), np.asarray(kv[l]), rtol=2e-4, atol=2e-4,
+                err_msg=f"kv layer {l}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(lc.ring), np.asarray(ring[l]), rtol=2e-4,
+                atol=2e-4, err_msg=f"ring layer {l}",
+            )
+            # ckv: data rows only (the XLA path parks non-emission
+            # candidates in the trash row; the kernels never write it)
+            ncb = int(np.asarray(ref_cache.seq_len)) // \
+                cfg.nsa.compress_block_sliding_stride
+            np.testing.assert_allclose(
+                np.asarray(lc.ckv[:, :, :ncb]), np.asarray(ckv[l][:, :, :ncb]),
+                rtol=2e-4, atol=2e-4, err_msg=f"ckv layer {l}",
+            )
+
+    def test_batched_rows(self):
+        cfg = _cfg()
+        ref, mega, _, _ = _rollout(cfg, b=2, prompt_len=11, steps=6)
+        for i, (a, m) in enumerate(zip(ref, mega)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(m), rtol=2e-4, atol=2e-4,
+                err_msg=f"step {i}",
+            )
+
+    # bfloat16 is exercised on TPU by scripts/tpu_mega_smoke.py: the CPU
+    # interpreter cannot execute bf16 x bf16 -> f32 dots (DotThunk), the
+    # same reason the other kernel equivalence tests pin f32 on CPU.
+
+    def test_scan_rollout_matches_python_loop(self):
+        """The jitted-scan form used by eval/efficiency.measure_decode."""
+        cfg = _cfg()
+        key = jax.random.PRNGKey(3)
+        params = init_transformer(key, cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(4), (1, 9), 0, cfg.vocab_size)
+        logits, cache = transformer_prefill(params, cfg, prompt, 64)
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        mp = pack_mega_params(params, cfg)
+        kv, ckv, ring = stack_decode_caches(cache)
+        gen = 8
+
+        @jax.jit
+        def scan_rollout(mp, first, kv, ckv, ring, t0):
+            def step(carry, i):
+                tok, kv, ckv, ring = carry
+                lg, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, tok, kv, ckv, ring, t0 + i)
+                nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                return (nxt, kv, ckv, ring), tok
+
+            (_, _, _, _), toks = jax.lax.scan(
+                step, (first, kv, ckv, ring), jnp.arange(gen))
+            return toks
+
+        toks = np.asarray(
+            scan_rollout(mp, first, kv, ckv, ring, cache.seq_len))[:, 0]
+
+        tok, t = first, cache.seq_len
+        loop_toks = []
+        for i in range(gen):
+            loop_toks.append(int(np.asarray(tok)[0]))
+            lg, kv2, ckv2, ring2 = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t + i)
+            kv, ckv, ring = kv2, ckv2, ring2
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        assert list(toks) == loop_toks
