@@ -113,13 +113,22 @@ def main():
     first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     log("prefill ok")
 
+    # jitted single steps: the scoped-VMEM compiler option rides lazy_jit,
+    # and an eager layer-path step would dispatch ~150 tiny ops per call
+    # through the tunnel
+    step_mega = lazy_jit(
+        lambda mp, tok, kv, ckv, ring, t: transformer_decode_step_mega(
+            mp, cfg, tok, kv, ckv, ring, t))
+    step_ref = lazy_jit(
+        lambda p, tok, c: transformer_decode_step(p, cfg, tok, c))
+
     # ---- gate 1: megakernel compiles + runs --------------------------------
     mp = pack_mega_params(params, cfg)
     kv, ckv, ring = stack_decode_caches(cache)
     t0 = cache.seq_len
     log("compiling megakernel step (2-10 min cold)...")
     lg, kv, ckv, ring = jax.block_until_ready(
-        transformer_decode_step_mega(mp, cfg, first, kv, ckv, ring, t0))
+        step_mega(mp, first, kv, ckv, ring, t0))
     log(f"megakernel step ok; logits[0,:3]={np.asarray(lg)[0, :3]}")
 
     # ---- gate 2: rollout equivalence vs the layer path ---------------------
@@ -127,7 +136,7 @@ def main():
     tok, c = first, cache
     ref_toks, ref_last = [], None
     for _ in range(steps):
-        lg_r, c = transformer_decode_step(params, cfg, tok, c)
+        lg_r, c = step_ref(params, tok, c)
         tok = jnp.argmax(lg_r, -1).astype(jnp.int32)
         ref_toks.append(np.asarray(tok).copy())
         ref_last = lg_r
@@ -135,8 +144,7 @@ def main():
     tok = first
     mega_toks, mega_last = [], None
     for i in range(steps):
-        lg_m, kv, ckv, ring = transformer_decode_step_mega(
-            mp, cfg, tok, kv, ckv, ring, t0 + i)
+        lg_m, kv, ckv, ring = step_mega(mp, tok, kv, ckv, ring, t0 + i)
         tok = jnp.argmax(lg_m, -1).astype(jnp.int32)
         mega_toks.append(np.asarray(tok).copy())
         mega_last = lg_m
