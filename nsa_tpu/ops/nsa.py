@@ -692,9 +692,45 @@ def sparse_attention_decode(
         [cache.ring[:, :, 1:], kv_new[:, :, None]], axis=2
     )
 
+    # ---- decode-kernel eligibility (needed before the cache append) -------
+    # A tile is Mosaic-legal only if it is a sublane multiple (8) or spans
+    # the whole batch (block == array dims); batches like 20 or 36 would
+    # otherwise pick tile 4/2 and fail the TPU compile, so they fall back
+    # to the XLA path instead.
+    from .pallas.nsa_decode import _pick_batch_tile
+
+    _sel_cap = _select_tile(cfg, max_len, stride, d, cache.ckv.dtype)
+    _tiles_ok = all(
+        bt % 8 == 0 or bt == b
+        for bt in (
+            _pick_batch_tile(b, _sel_cap),
+            _pick_batch_tile(b, cfg.decode_attend_tile),
+        )
+    )
+    use_decode_kernels = (
+        cfg.attn_impl == "pallas"
+        and not ragged
+        and nsa.query_heads_share_selected_kv
+        and nsa.num_compress_per_fine > 1
+        and _tiles_ok
+        and not (skip_compressed or skip_fine)
+    )
+
     # ---- append to the main cache ----------------------------------------
+    # Hybrid r2-select + fused-attend path (NSA_HYBRID_DECODE=1, on-chip
+    # A/B): keeps the large-batch-winning batched select kernel but
+    # replaces the XLA gather + attend + out-proj + FF chain with
+    # decode_attend_fused, which also writes the new token's row in-kernel
+    # — so the XLA row write must be skipped.
+    hybrid = bool(
+        os.environ.get("NSA_HYBRID_DECODE")
+        and use_decode_kernels
+        and nsa.num_selected_blocks > 0
+    )
     kv_row = jnp.concatenate([rk_new, v_new], axis=-1)         # [b, kvh, 2d]
-    if ragged:
+    if hybrid:
+        kv_cache = cache.kv          # row committed inside decode_attend_fused
+    elif ragged:
         # per-row positions: one batched scatter over the slot pool
         kv_cache = cache.kv.at[
             jnp.arange(b)[:, None], jnp.arange(kvh)[None, :], t[:, None]
@@ -751,30 +787,8 @@ def sparse_attention_decode(
     # union cannot express).  Any batch size works: the kernel wrappers
     # pick the largest power-of-two batch tile dividing b.  mem_kv width is
     # generic in the select kernel (importance excludes mem slots, matching
-    # selection.group_importance).  A tile is Mosaic-legal only if it is a
-    # sublane multiple (8) or spans the whole batch (block == array dims);
-    # batches like 20 or 36 would otherwise pick tile 4/2 and fail the TPU
-    # compile, so they fall back to the XLA path instead.
-    from .pallas.nsa_decode import _pick_batch_tile
-
-    _sel_cap = _select_tile(cfg, max_len, stride, d, ckv_cache.dtype)
-    _tiles_ok = all(
-        bt % 8 == 0 or bt == b
-        for bt in (
-            _pick_batch_tile(b, _sel_cap),
-            _pick_batch_tile(b, cfg.decode_attend_tile),
-        )
-    )
-    use_decode_kernels = (
-        cfg.attn_impl == "pallas"
-        and not ragged
-        and nsa.query_heads_share_selected_kv
-        and nsa.num_compress_per_fine > 1
-        and _tiles_ok
-    )
-    if skip_compressed or skip_fine:
-        use_decode_kernels = False
-
+    # selection.group_importance).  Eligibility (use_decode_kernels) was
+    # resolved above, before the cache append.
     if use_decode_kernels:
         from .pallas.nsa_decode import decode_attend, decode_select
 
@@ -787,6 +801,32 @@ def sparse_attention_decode(
             n_slide=n_slide, scale=scale,
             batch_tile=_sel_cap,
         )
+        if hybrid:
+            # decode_select's packed info is byte-compatible with
+            # decode_attend_fused's scalar-prefetched layout: idx in
+            # [0, n_slots), validity at [n_slots, n_slots + num_sel)
+            from .pallas.nsa_decode_fused import decode_attend_fused
+
+            ff_tuple = ()
+            if ff_params is not None and not os.environ.get("NSA_NO_FF_FUSE"):
+                ff_tuple = (
+                    ff_params["norm_scale"], ff_params["w1"], ff_params["b1"],
+                    ff_params["w2"], ff_params["b2"],
+                )
+            out_x, kv_cache = decode_attend_fused(
+                rq.reshape(b, kvh, g, d),
+                kv_cache, kv_row[:, :, None].astype(cache.kv.dtype),
+                msk, c_out4,
+                gates.reshape(b, kvh, g, 3),
+                x, params["w_out"], t, ff_tuple,
+                sel_block=Bs, window=window, num_sel=S_k, n_slide=n_slide,
+                scale=scale, batch_tile=min(cfg.decode_attend_tile, 16),
+                eps=cfg.norm_eps,
+            )
+            if ff_params is not None and not ff_tuple:
+                out_x = out_x + _ff_apply_gelu(ff_params, cfg, out_x)
+            return out_x, NSADecodeCache(
+                kv=kv_cache, ckv=ckv_cache, ring=ring)
         kvb = kv_cache.reshape(b, kvh, max_len // Bs, Bs, 2 * d)
         fkv = gather_blocks(kvb, idx_all[:, :, None])[:, :, 0]
         fkv = fkv.reshape(b, kvh, (S_k + n_slide) * Bs, 2 * d)
