@@ -21,12 +21,12 @@ done
 sleep 10
 log "TPU free; starting mega validation"
 
-log "1/4 probes"
+log "1/6 probes"
 timeout 900 python scripts/mega_probe.py \
   > exp_result/r4/mega_probe.log 2>&1
 log "probes exit=$?"
 
-log "2/4 smoke gates 1+2"
+log "2/6 smoke gates 1+2"
 timeout 2400 python scripts/tpu_mega_smoke.py --skip-timing \
   > exp_result/r4/mega_smoke.log 2>&1
 rc=$?
@@ -34,14 +34,23 @@ log "smoke exit=$rc"
 if [ $rc -ne 0 ]; then
   log "smoke FAILED - skipping timing, still running bench sanity"
 else
-  log "3/4 timing A/B (bs 1, gen 200)"
+  log "3/6 timing A/B (bs 1, gen 200)"
   timeout 3600 python scripts/tpu_mega_smoke.py --gen 200 --prompt 128 \
     > exp_result/r4/mega_ab.log 2>&1
   log "timing exit=$?"
 fi
 
-log "4/4 bench --quick"
+log "4/6 bench --quick"
 timeout 1800 python bench.py --quick \
   > exp_result/r4/bench_quick_r4b.log 2>&1
 log "bench quick exit=$? $(tail -1 exp_result/r4/bench_quick_r4b.log | head -c 200)"
+
+log "5/6 hybrid A/B at the bs-64 headline config (r2 baseline first)"
+timeout 2400 python scripts/hybrid_ab.py \
+  > exp_result/r4/hybrid_ab_r2.log 2>&1
+log "r2 exit=$? $(tail -1 exp_result/r4/hybrid_ab_r2.log | head -c 200)"
+log "6/6 hybrid A/B (NSA_HYBRID_DECODE=1)"
+timeout 2400 env NSA_HYBRID_DECODE=1 python scripts/hybrid_ab.py \
+  > exp_result/r4/hybrid_ab_on.log 2>&1
+log "hybrid exit=$? $(tail -1 exp_result/r4/hybrid_ab_on.log | head -c 200)"
 log "R4B QUEUE COMPLETE"
