@@ -119,11 +119,12 @@ def measure_decode(
         def decode_scan(mp, first, kv, ckv, ring, t0):
             def step(carry, i):
                 tok, kv, ckv, ring = carry
-                logits, kv, ckv, ring = transformer_decode_step_mega(
-                    mp, cfg, tok, kv, ckv, ring, t0 + i
+                # greedy argmax runs IN-KERNEL: the scan body is one
+                # device op plus the position counter
+                _, nxt, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, tok, kv, ckv, ring, t0 + i, greedy=True
                 )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, kv, ckv, ring), tok
+                return (nxt[:, 0], kv, ckv, ring), tok
 
             (_, _, _, _), toks = jax.lax.scan(
                 step, (first, kv, ckv, ring), jnp.arange(gen_len)

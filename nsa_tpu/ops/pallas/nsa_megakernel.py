@@ -49,6 +49,7 @@ path whose launch count is already pool-size-independent.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -75,23 +76,6 @@ def swap_matrix(dim_inner: int) -> jnp.ndarray:
     return jnp.asarray(m)
 
 
-def rotary_lane_vectors(t, dim_head: int, heads: int, theta: float):
-    """Per-step cos/sin lane vectors for the in-kernel rotary matmul form.
-
-    Returns [2, heads*dim_head] float32: row 0 = cos at every lane, row 1
-    = the signed sin such that ``rot(x) = x*cos_vec + swap(x)*sin_vec``
-    reproduces ops/rotary.apply_rotary's interleaved convention
-    (rot[2i] = x[2i]cos - x[2i+1]sin; rot[2i+1] = x[2i]sin + x[2i+1]cos).
-    """
-    exponent = jnp.arange(0, dim_head, 2, dtype=jnp.float32) / dim_head
-    inv_freq = 1.0 / (theta ** exponent)                    # [d/2]
-    ang = t.astype(jnp.float32) * inv_freq
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-    cvec = jnp.repeat(cos, 2)                               # [d]
-    svec = jnp.stack([-sin, sin], axis=-1).reshape(-1)      # [d]
-    return jnp.stack([jnp.tile(cvec, heads), jnp.tile(svec, heads)])
-
-
 def _extract_scalar(row, lane: int):
     """Pull lane ``lane`` of a [1, W] int32 vector out as a 0-d scalar via
     a masked lane reduction (the guide-blessed vreg->sreg route; a direct
@@ -103,10 +87,10 @@ def _extract_scalar(row, lane: int):
 
 def _mega_kernel(
     # scalar prefetch
-    scal_ref,       # SMEM [4]: t, num_cb, emit, slot
+    scal_ref,       # SMEM [1]: t (everything position-derived is computed
+                    # in-kernel so the step has NO per-step XLA preamble)
     tok_ref,        # SMEM [b]: this step's token ids
     # per-step operands (constant over the layer grid)
-    cs_ref,         # [2, din] f32: rotary cos / signed-sin lane vectors
     pswap_ref,      # [din, din] f32 even<->odd pair permutation
     emb_hbm,        # ANY [vocab, dim] token embedding (model dtype)
     onorm_ref,      # [1, dim] final norm scale
@@ -134,38 +118,36 @@ def _mega_kernel(
     ckv_ref,        # [1, b, kvh, Wc, 2d] VMEM (pre-update view; aliased)
     ring_ref,       # [1, b, kvh, Bc, 2d] VMEM (aliased -> ring_out)
     kv_hbm,         # ANY [L, b, kvh, max_len, 2d] (aliased -> kv_out)
-    # outputs
-    logits_ref,     # [b, vocab] f32
-    ckv_out,        # ANY, aliased
-    ring_out,       # [1, b, kvh, Bc, 2d], aliased
-    kv_out,         # ANY, aliased
-    # scratch
-    x_s,            # [b, dim] model dtype — residual stream, persists
-    q_s,            # [b, 1, g, d]
-    rq_s,           # [b, 1, g, d]
-    cout_s,         # [b, 1, g, d]
-    gates_s,        # [b, 1, g, 3]
-    info_s,         # [b, INFO_WIDTH] int32
-    fkv_s,          # [b, n_slots*Bs, 2d]
-    wkv_s,          # [b, 8, 2d] kv-row RMW window
-    wck_s,          # [b, 8, 2d] ckv-slot RMW window
-    embw_s,         # [8, dim] embedding-row window
-    w1k_s,          # [Bc*d, hid]
-    w1v_s,          # [Bc*d, hid]
-    w2c_s,          # [hid, 2d]
-    cand_s,         # [b, 2d]
-    gsems,          # DMA (n_slots,)
-    wsem,           # DMA ()
-    csem,           # DMA (3,)
-    esem,           # DMA ()
-    *, scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
-    eps, depth,
+    # outputs (tok_out only present under the static greedy flag)
+    *rest_refs,     # logits [b, vocab] f32, (tok_out [b, 1] int32,)
+                    # ckv_out ANY, ring_out blocked, kv_out ANY, scratch...
+    scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
+    eps, depth, theta, greedy,
 ):
+    if greedy:
+        (logits_ref, tok_out, ckv_out, ring_out, kv_out, x_s, cs_s, q_s,
+         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, wck_s, embw_s, w1k_s,
+         w1v_s, w2c_s, cand_s, gsems, wsem, csem, esem) = rest_refs
+    else:
+        (logits_ref, ckv_out, ring_out, kv_out, x_s, cs_s, q_s, rq_s,
+         cout_s, gates_s, info_s, fkv_s, wkv_s, wck_s, embw_s, w1k_s,
+         w1v_s, w2c_s, cand_s, gsems, wsem, csem, esem) = rest_refs
+    # scratch refs (in rest_refs): x_s [b, dim] residual (persists across
+    # the layer grid), cs_s [2, din] f32 rotary lane vectors (computed at
+    # l==0), q_s/rq_s/cout_s [b, 1, g, d], gates_s [b, 1, g, 3],
+    # info_s [b, INFO_WIDTH] int32, fkv_s [b, n_slots*Bs, 2d],
+    # wkv_s/wck_s [b, 8, 2d] RMW windows, embw_s [8, dim],
+    # w1k_s/w1v_s [Bc*d, hid], w2c_s [hid, 2d], cand_s [b, 2d],
+    # sems: gsems (n_slots,), wsem (), csem (3,), esem ()
     l = pl.program_id(0)
     t = scal_ref[0]
-    num_cb = scal_ref[1]
-    emit = scal_ref[2]
-    slot = scal_ref[3]
+    # position-derived scalars, computed in-kernel (matching the XLA-side
+    # math in sparse_attention_decode / decode_select_emit)
+    Bc_ = ring_ref.shape[3]
+    num_cb = t // stride
+    run_fill = (Bc_ - stride) + t - num_cb * stride
+    emit = (run_fill + 1 == Bc_).astype(jnp.int32)
+    slot = jnp.minimum(num_cb, ckv_ref.shape[3] - 1)
     b, dim = x_s.shape
     g, d = q_s.shape[2], q_s.shape[3]
     kvh = ring_ref.shape[2]
@@ -199,6 +181,20 @@ def _mega_kernel(
             )
             x_s[r:r + 1, :] = row.astype(mdt)
 
+    # ---- rotary lane vectors at position t (first layer step only) --------
+    # rot(x) = x*cvec + swap(x)*svec reproduces ops/rotary.apply_rotary's
+    # interleaved convention: cvec[2i]=cvec[2i+1]=cos(t*f_i),
+    # svec[2i]=-sin(t*f_i), svec[2i+1]=+sin(t*f_i), tiled across heads
+    @pl.when(l == 0)
+    def _rope():
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, din), 1)
+        pair = ((cols % d) // 2).astype(jnp.float32)
+        invf = jnp.exp(pair * jnp.float32(-2.0 * math.log(theta) / d))
+        ang = t.astype(jnp.float32) * invf                  # [1, din]
+        sgn = jnp.where(cols % 2 == 0, -1.0, 1.0)
+        cs_s[0:1, :] = jnp.cos(ang)
+        cs_s[1:2, :] = jnp.sin(ang) * sgn
+
     # ---- pre-attention norm + fused qkv|gate projection --------------------
     x = x_s[...]                                            # [b, dim] mdt
     xf = x.astype(jnp.float32)
@@ -217,8 +213,8 @@ def _mega_kernel(
     gates = jax.nn.sigmoid(gl + gateb_ref[0, 0].astype(mdt))  # [b, 3h] mdt
 
     # ---- rotary at position t (matmul lane-swap form, f32 like the XLA path)
-    cvec = cs_ref[0:1, :]
-    svec = cs_ref[1:2, :]
+    cvec = cs_s[0:1, :]
+    svec = cs_s[1:2, :]
     qf32 = qf.astype(jnp.float32)
     qsw = jax.lax.dot_general(
         qf32, pswap_ref[...], (((1,), (0,)), ((), ())),
@@ -423,14 +419,27 @@ def _mega_kernel(
             preferred_element_type=jnp.float32,
         )
         # match the XLA path's bf16-matmul output rounding before the f32 cast
-        logits_ref[...] = lg.astype(mdt).astype(jnp.float32)
+        lgq = lg.astype(mdt).astype(jnp.float32)
+        logits_ref[...] = lgq
+        if greedy:
+            # in-kernel greedy sampling: min-index-of-max matches
+            # jnp.argmax's first-max tie-breaking
+            vocab = lgq.shape[1]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+            for r in range(b):
+                row = lgq[r:r + 1, :]
+                mx = jnp.max(row, axis=-1, keepdims=True)
+                tok_out[r:r + 1, :] = jnp.min(
+                    jnp.where(row >= mx, ids, 2 ** 30),
+                    axis=-1, keepdims=True,
+                )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
                      "sel_block", "num_sel", "n_slide", "window", "scale",
-                     "eps", "theta", "interpret"),
+                     "eps", "theta", "greedy", "interpret"),
 )
 def decode_step_mega(
     mp: dict,
@@ -441,9 +450,13 @@ def decode_step_mega(
     t: jnp.ndarray,          # scalar int32: tokens already cached
     *, depth: int, heads: int, kv_heads: int, dim_head: int, stride: int,
     sel_block: int, num_sel: int, n_slide: int, window: int, scale: float,
-    eps: float, theta: float, interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One whole-model decode step -> (logits [b, vocab] f32, kv, ckv, ring).
+    eps: float, theta: float, greedy: bool = False,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, ...]:
+    """One whole-model decode step -> (logits [b, vocab] f32, kv, ckv, ring),
+    or with ``greedy=True`` -> (logits, next_token [b, 1] int32, kv, ckv,
+    ring) with the argmax sampled IN-KERNEL — the decode scan body then
+    contains no per-step XLA work at all beyond the position counter.
 
     ``mp`` is the stacked parameter dict from
     models.transformer.pack_mega_params.  The caches are stacked across
@@ -464,13 +477,7 @@ def decode_step_mega(
     interpret = resolve_interpret(interpret)
     assert b <= 8, "megakernel decode targets the small-batch regime"
 
-    t = t.astype(jnp.int32)
-    num_cb = t // stride
-    run_fill = (Bc - stride) + t - num_cb * stride
-    emit = (run_fill + 1 == Bc).astype(jnp.int32)
-    slot = jnp.clip(num_cb, 0, Wc - 1)
-    scal = jnp.stack([t, num_cb, emit, slot])
-    cs = rotary_lane_vectors(t, d, heads, theta)            # [2, din]
+    scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 
     cdt = kv.dtype
     mdt = mp["token_emb"].dtype
@@ -485,7 +492,6 @@ def decode_step_mega(
 
     M = mp["mem_kv"].shape[3]
     in_specs = [
-        pl.BlockSpec((2, heads * d), c((0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((heads * d, heads * d), c((0, 0)),
                      memory_space=pltpu.VMEM),
         _hbm_spec(interpret),                                   # emb
@@ -515,7 +521,7 @@ def decode_step_mega(
         _hbm_spec(interpret),                                   # kv
     ]
     operands = [
-        cs, mp["pswap"], mp["token_emb"], mp["out_norm"], mp["to_logits"],
+        mp["pswap"], mp["token_emb"], mp["out_norm"], mp["to_logits"],
         mp["attn_norm"], mp["w_qkvg"], mp["gate_b"], mp["mem_kv"],
         mp["pos_kv"], mp["b1k"], mp["b1v"], mp["b2c"],
         mp["w1k"], mp["w1v"], mp["w2c"], mp["w_out"],
@@ -527,19 +533,33 @@ def decode_step_mega(
     ring_ix = ckv_ix + 1
     kv_ix = ckv_ix + 2
 
+    out_specs = [pl.BlockSpec((b, vocab), c((0, 0)), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b, vocab), jnp.float32)]
+    if greedy:
+        out_specs.append(
+            pl.BlockSpec((b, 1), c((0, 0)), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1), jnp.int32))
+    cache_out_base = len(out_specs)
+    out_specs += [
+        _hbm_spec(interpret),                                   # ckv (aliased)
+        pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
+                     memory_space=pltpu.VMEM),                  # ring (aliased)
+        _hbm_spec(interpret),                                   # kv (aliased)
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
+        jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+        jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(depth,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((b, vocab), c((0, 0)), memory_space=pltpu.VMEM),
-            _hbm_spec(interpret),                               # ckv (aliased)
-            pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
-                         memory_space=pltpu.VMEM),              # ring (aliased)
-            _hbm_spec(interpret),                               # kv (aliased)
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((b, dim), mdt),                          # x_s
+            pltpu.VMEM((2, heads * d), jnp.float32),            # cs_s
             pltpu.VMEM((b, 1, g, d), mdt),                      # q_s
             pltpu.VMEM((b, 1, g, d), mdt),                      # rq_s
             pltpu.VMEM((b, 1, g, d), mdt),                      # cout_s
@@ -559,20 +579,24 @@ def decode_step_mega(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    logits, new_ckv, new_ring, new_kv = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _mega_kernel, scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, window=window,
-            max_blocks=max_blocks, eps=eps, depth=depth,
+            max_blocks=max_blocks, eps=eps, depth=depth, theta=theta,
+            greedy=greedy,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, vocab), jnp.float32),
-            jax.ShapeDtypeStruct(ckv.shape, ckv.dtype),
-            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
-            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
-        ),
-        input_output_aliases={ckv_ix: 1, ring_ix: 2, kv_ix: 3},
+        out_shape=tuple(out_shapes),
+        input_output_aliases={
+            ckv_ix: cache_out_base,
+            ring_ix: cache_out_base + 1,
+            kv_ix: cache_out_base + 2,
+        },
         interpret=interpret,
     )(scal, token.astype(jnp.int32), *operands)
+    if greedy:
+        logits, tok, new_ckv, new_ring, new_kv = outs
+        return logits, tok, new_kv, new_ckv, new_ring
+    logits, new_ckv, new_ring, new_kv = outs
     return logits, new_kv, new_ckv, new_ring

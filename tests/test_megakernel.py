@@ -118,6 +118,24 @@ class TestMegakernelEquivalence:
     # interpreter cannot execute bf16 x bf16 -> f32 dots (DotThunk), the
     # same reason the other kernel equivalence tests pin f32 on CPU.
 
+    def test_in_kernel_greedy_matches_argmax(self):
+        cfg = _cfg()
+        key = jax.random.PRNGKey(7)
+        params = init_transformer(key, cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(8), (2, 9), 0, cfg.vocab_size)
+        logits, cache = transformer_prefill(params, cfg, prompt, 64)
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        mp = pack_mega_params(params, cfg)
+        kv, ckv, ring = stack_decode_caches(cache)
+        tok, t = first, cache.seq_len
+        for i in range(6):
+            lg, nxt, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t + i, greedy=True)
+            want = np.asarray(jnp.argmax(lg, -1))
+            np.testing.assert_array_equal(np.asarray(nxt)[:, 0], want)
+            tok = nxt[:, 0]
+
     def test_scan_rollout_matches_python_loop(self):
         """The jitted-scan form used by eval/efficiency.measure_decode."""
         cfg = _cfg()
