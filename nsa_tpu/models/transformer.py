@@ -595,15 +595,42 @@ def transformer_sample(
     logits, cache = transformer_prefill(params, cfg, prompt, max_len, impl=impl)
     first = _sample_from_logits(logits[:, -1], rng, temperature, filter_thres)
 
+    if gen_len == 0:
+        return jnp.zeros((b, 0), jnp.int32)
+    rngs = jax.random.split(rng, gen_len)
+
+    if cfg.use_sparse_attn and use_mega_decode(cfg, b):
+        # whole-model megakernel scan: greedy samples in-kernel; tempered
+        # sampling keeps one XLA sampling op per step over the kernel's
+        # logits output
+        mp = pack_mega_params(params, cfg)
+        kv, ckv, ring = stack_decode_caches(cache)
+        t0 = cache.seq_len
+
+        def mega_step(carry, xs):
+            i, rng_i = xs
+            token, kv, ckv, ring = carry
+            if temperature <= 0:
+                _, nxt, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, token, kv, ckv, ring, t0 + i, greedy=True)
+                nxt = nxt[:, 0]
+            else:
+                lg, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, token, kv, ckv, ring, t0 + i)
+                nxt = _sample_from_logits(lg, rng_i, temperature, filter_thres)
+            return (nxt, kv, ckv, ring), token
+
+        (_, _, _, _), tokens = jax.lax.scan(
+            mega_step, (first, kv, ckv, ring),
+            (jnp.arange(gen_len), rngs))
+        return jnp.moveaxis(tokens, 0, 1)  # [b, gen_len]
+
     def step(carry, rng_i):
         token, cache = carry
         logits, cache = transformer_decode_step(params, cfg, token, cache)
         nxt = _sample_from_logits(logits, rng_i, temperature, filter_thres)
         return (nxt, cache), token
 
-    if gen_len == 0:
-        return jnp.zeros((b, 0), jnp.int32)
-    rngs = jax.random.split(rng, gen_len)
     # each step emits the token it consumes, so the stacked outputs are
     # exactly the gen_len sampled tokens starting with `first`
     (_, _), tokens = jax.lax.scan(step, (first, cache), rngs, length=gen_len)

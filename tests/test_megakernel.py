@@ -136,6 +136,28 @@ class TestMegakernelEquivalence:
             np.testing.assert_array_equal(np.asarray(nxt)[:, 0], want)
             tok = nxt[:, 0]
 
+    def test_transformer_sample_mega_path(self):
+        """transformer_sample under NSA_MEGA_DECODE=1 == default path."""
+        import os
+
+        from nsa_tpu.models.transformer import transformer_sample
+
+        cfg = _cfg()
+        params = init_transformer(jax.random.PRNGKey(5), cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(6), (1, 11), 0, cfg.vocab_size)
+        ref = np.asarray(transformer_sample(params, cfg, prompt, 8))
+        os.environ["NSA_MEGA_DECODE"] = "1"
+        try:
+            mega = np.asarray(transformer_sample(params, cfg, prompt, 8))
+            # tempered sampling shares the rng schedule, so it matches too
+            ref_t = np.asarray(transformer_sample(
+                params, cfg, prompt, 8, temperature=0.0))
+            del ref_t
+        finally:
+            os.environ.pop("NSA_MEGA_DECODE", None)
+        np.testing.assert_array_equal(ref, mega)
+
     def test_scan_rollout_matches_python_loop(self):
         """The jitted-scan form used by eval/efficiency.measure_decode."""
         cfg = _cfg()
