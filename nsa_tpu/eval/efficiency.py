@@ -109,8 +109,14 @@ def measure_decode(
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     if cfg.use_sparse_attn and use_mega_decode(cfg, batch_size):
-        # whole-model megakernel: ONE Pallas launch per token step (the
-        # dispatch-bound small-batch regime, ops/pallas/nsa_megakernel.py)
+        # whole-model megakernel: ONE Pallas launch decodes NSA_MEGA_STEPS
+        # tokens with in-kernel greedy feedback (the dispatch-bound
+        # small-batch regime, ops/pallas/nsa_megakernel.py)
+        import os
+
+        mega_steps = int(os.environ.get("NSA_MEGA_STEPS", "8"))
+        while mega_steps > 1 and gen_len % mega_steps:
+            mega_steps //= 2
         mp = pack_mega_params(params, cfg)
         kv, ckv, ring = stack_decode_caches(cache)
         t0 = cache.seq_len
@@ -120,14 +126,16 @@ def measure_decode(
             def step(carry, i):
                 tok, kv, ckv, ring = carry
                 # greedy argmax runs IN-KERNEL: the scan body is one
-                # device op plus the position counter
-                _, nxt, kv, ckv, ring = transformer_decode_step_mega(
-                    mp, cfg, tok, kv, ckv, ring, t0 + i, greedy=True
+                # device op per mega_steps tokens plus the position counter
+                _, toks, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, tok, kv, ckv, ring, t0 + i * mega_steps,
+                    greedy=True, steps=mega_steps,
                 )
-                return (nxt[:, 0], kv, ckv, ring), tok
+                return (toks[:, -1], kv, ckv, ring), toks
 
             (_, _, _, _), toks = jax.lax.scan(
-                step, (first, kv, ckv, ring), jnp.arange(gen_len)
+                step, (first, kv, ckv, ring),
+                jnp.arange(gen_len // mega_steps)
             )
             return toks
 

@@ -256,13 +256,14 @@ def stack_decode_caches(cache: ModelCache):
 
 def transformer_decode_step_mega(
     mp: dict, cfg: ModelConfig, token: jnp.ndarray, kv, ckv, ring, t,
-    greedy: bool = False,
+    greedy: bool = False, steps: int = 1,
 ):
-    """One whole-model decode step through the megakernel:
+    """Whole-model decode through the megakernel:
     -> (logits [b, vocab] f32, kv, ckv, ring), or with ``greedy=True``
-    -> (logits, next_token [b, 1], kv, ckv, ring) with the argmax sampled
-    in-kernel.  ``mp`` from pack_mega_params; caches from
-    stack_decode_caches (updated in place)."""
+    -> (logits, tokens [b, steps], kv, ckv, ring) with the argmax sampled
+    in-kernel (``steps > 1`` decodes a whole greedy chunk in ONE launch).
+    ``mp`` from pack_mega_params; caches from stack_decode_caches
+    (updated in place)."""
     from ..ops.pallas.nsa_megakernel import decode_step_mega
 
     nsa = cfg.nsa
@@ -274,7 +275,7 @@ def transformer_decode_step_mega(
         sel_block=Bs, num_sel=nsa.num_selected_blocks,
         n_slide=-(-nsa.sliding_window_size // Bs) + 1,
         window=nsa.sliding_window_size, scale=cfg.dim_head ** -0.5,
-        eps=cfg.norm_eps, theta=cfg.rope_theta, greedy=greedy,
+        eps=cfg.norm_eps, theta=cfg.rope_theta, greedy=greedy, steps=steps,
     )
 
 

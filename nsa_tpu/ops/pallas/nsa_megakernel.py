@@ -114,45 +114,55 @@ def _mega_kernel(
     fb1_ref,        # [1, 1, hid4]
     fw2_ref,        # [1, hid4, dim]
     fb2_ref,        # [1, 1, dim]
-    # stacked caches
-    ckv_ref,        # [1, b, kvh, Wc, 2d] VMEM (pre-update view; aliased)
-    ring_ref,       # [1, b, kvh, Bc, 2d] VMEM (aliased -> ring_out)
+    # stacked caches (all ANY: ckv and ring are loaded into VMEM scratch
+    # at launch start and written back once at the end, so every token
+    # step within a launch sees the previous step's state without relying
+    # on blocked-input refetch semantics over an aliased buffer)
+    ckv_hbm,        # ANY [L, b, kvh, Wc, 2d] (aliased -> ckv_out)
+    ring_hbm,       # ANY [L, b, kvh, Bc, 2d] (aliased -> ring_out)
     kv_hbm,         # ANY [L, b, kvh, max_len, 2d] (aliased -> kv_out)
     # outputs (tok_out only present under the static greedy flag)
-    *rest_refs,     # logits [b, vocab] f32, (tok_out [b, 1] int32,)
-                    # ckv_out ANY, ring_out blocked, kv_out ANY, scratch...
+    *rest_refs,     # logits [b, vocab] f32, (tok_out [steps, b] int32,)
+                    # ckv_out ANY, ring_out ANY, kv_out ANY, scratch...
     scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
     eps, depth, theta, greedy,
 ):
     if greedy:
         (logits_ref, tok_out, ckv_out, ring_out, kv_out, x_s, cs_s, q_s,
-         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, wck_s, embw_s, w1k_s,
-         w1v_s, w2c_s, cand_s, gsems, wsem, csem, esem) = rest_refs
+         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, embw_s, ckv_all_s,
+         ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s, cand_s, gsems,
+         wsem, csem, esem, rsem) = rest_refs
     else:
         (logits_ref, ckv_out, ring_out, kv_out, x_s, cs_s, q_s, rq_s,
-         cout_s, gates_s, info_s, fkv_s, wkv_s, wck_s, embw_s, w1k_s,
-         w1v_s, w2c_s, cand_s, gsems, wsem, csem, esem) = rest_refs
+         cout_s, gates_s, info_s, fkv_s, wkv_s, embw_s, ckv_all_s,
+         ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s, cand_s, gsems,
+         wsem, csem, esem, rsem) = rest_refs
     # scratch refs (in rest_refs): x_s [b, dim] residual (persists across
-    # the layer grid), cs_s [2, din] f32 rotary lane vectors (computed at
-    # l==0), q_s/rq_s/cout_s [b, 1, g, d], gates_s [b, 1, g, 3],
+    # the grid), cs_s [2, din] f32 rotary lane vectors (per token step),
+    # q_s/rq_s/cout_s [b, 1, g, d], gates_s [b, 1, g, 3],
     # info_s [b, INFO_WIDTH] int32, fkv_s [b, n_slots*Bs, 2d],
-    # wkv_s/wck_s [b, 8, 2d] RMW windows, embw_s [8, dim],
+    # wkv_s [b, 8, 2d] kv RMW window, embw_s [8, dim],
+    # ckv_all_s [L, b, kvh, Wc, 2d] launch-resident compressed cache,
+    # ckv_sel_s [b, 1, Wc, 2d] per-head select staging,
+    # ring_all_s [L, b, kvh, Bc, 2d] launch-resident ring,
+    # tok_s [b, 1] int32 greedy-feedback token (multi-step),
     # w1k_s/w1v_s [Bc*d, hid], w2c_s [hid, 2d], cand_s [b, 2d],
-    # sems: gsems (n_slots,), wsem (), csem (3,), esem ()
-    l = pl.program_id(0)
-    t = scal_ref[0]
+    # sems: gsems (n_slots,), wsem (), csem (3,), esem (), rsem ()
+    s_ix = pl.program_id(0)     # token step within this launch
+    l = pl.program_id(1)        # layer
+    t = scal_ref[0] + s_ix
     # position-derived scalars, computed in-kernel (matching the XLA-side
     # math in sparse_attention_decode / decode_select_emit)
-    Bc_ = ring_ref.shape[3]
+    Bc_ = ring_all_s.shape[3]
     num_cb = t // stride
     run_fill = (Bc_ - stride) + t - num_cb * stride
     emit = (run_fill + 1 == Bc_).astype(jnp.int32)
-    slot = jnp.minimum(num_cb, ckv_ref.shape[3] - 1)
+    slot = jnp.minimum(num_cb, ckv_all_s.shape[3] - 1)
     b, dim = x_s.shape
     g, d = q_s.shape[2], q_s.shape[3]
-    kvh = ring_ref.shape[2]
-    Bc = ring_ref.shape[3]
-    Wc = ckv_ref.shape[3]
+    kvh = ring_all_s.shape[2]
+    Bc = ring_all_s.shape[3]
+    Wc = ckv_all_s.shape[3]
     hid = w1k_s.shape[1]
     din = wout_ref.shape[1]
     heads_ = din // d
@@ -162,12 +172,25 @@ def _mega_kernel(
     mdt = x_s.dtype
     cdt = fkv_s.dtype
 
+    # ---- launch-resident cache load (first grid step only) ----------------
+    @pl.when(jnp.logical_and(s_ix == 0, l == 0))
+    def _load_caches():
+        c1 = pltpu.make_async_copy(ckv_hbm, ckv_all_s, csem.at[0])
+        c2 = pltpu.make_async_copy(ring_hbm, ring_all_s, rsem)
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
     # ---- token embedding (first layer step only) --------------------------
-    # vocab rows are 8-sublane tiled: read the aligned window, select the row
+    # vocab rows are 8-sublane tiled: read the aligned window, select the
+    # row.  Token steps after the first consume the greedy token the
+    # previous step wrote to tok_s (in-kernel feedback)
     @pl.when(l == 0)
     def _embed():
         for r in range(b):
-            tok = tok_ref[r]
+            fed = jnp.min(tok_s[r:r + 1, :])   # vreg->sreg via reduction
+            tok = jnp.where(s_ix == 0, tok_ref[r], fed)
             base = pl.multiple_of((tok // 8) * 8, 8)
             cp = pltpu.make_async_copy(
                 emb_hbm.at[pl.ds(base, 8), :], embw_s, esem)
@@ -263,11 +286,11 @@ def _mega_kernel(
             kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_s, wsem)
         rd.start()
 
-        # ---- ring shift (every step) ---------------------------------------
-        ring_blk = ring_ref[0, :, hi]                       # [b, Bc, 2d]
+        # ---- ring shift (every step): pure VMEM scratch update -------------
+        ring_blk = ring_all_s[l, :, hi]                     # [b, Bc, 2d]
         shifted = jnp.concatenate(
             [ring_blk[:, 1:], new_unrot[:, None, :]], axis=1)
-        ring_out[0, :, hi] = shifted
+        ring_all_s[l, :, hi] = shifted
 
         # ---- predicated compressed-block emission --------------------------
         # (weights DMA'd from HBM only on emission steps; see
@@ -314,24 +337,20 @@ def _mega_kernel(
             ) + b2c_ref[0, hi, d:].astype(jnp.float32)
             cand_s[:, :d] = ck_.astype(cand_s.dtype)
             cand_s[:, d:] = cv_.astype(cand_s.dtype)
-            cbase = pl.multiple_of(
-                jnp.minimum((slot // 8) * 8, Wc - 8), 8)
-            crd = pltpu.make_async_copy(
-                ckv_out.at[l, :, hi, pl.ds(cbase, 8), :], wck_s, csem.at[0])
-            crd.start()
-            crd.wait()
-            ri = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
-            for r in range(b):
-                wck_s[r] = jnp.where(
-                    ri == slot - cbase, cand_s[r:r + 1, :], wck_s[r])
-            cwr = pltpu.make_async_copy(
-                wck_s, ckv_out.at[l, :, hi, pl.ds(cbase, 8), :], csem.at[0])
-            cwr.start()
-            cwr.wait()
+            # masked-row write into the launch-resident scratch: no DMA,
+            # no 8-row tiling constraint (plain VMEM vector select)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (b, Wc, 2 * d), 1)
+            cur = ckv_all_s[l, :, hi]                       # [b, Wc, 2d]
+            ckv_all_s[l, :, hi] = jnp.where(
+                rows == slot, cand_s[...][:, None, :], cur)
 
-        # ---- compressed attention + selection (pre-update ckv block) ------
+        # ---- compressed attention + selection ------------------------------
+        # reads the PRE-update view semantically: this step's emission
+        # lands at slot == num_cb, which the select mask (< num_cb)
+        # excludes, so staging after the emission write is equivalent
+        ckv_sel_s[:, 0] = ckv_all_s[l, :, hi]
         _select_math(
-            t, num_cb, q_s, ckv_ref.at[0, :, pl.ds(hi, 1)],
+            t, num_cb, q_s, ckv_sel_s,
             memkv_ref.at[0, 0, pl.ds(hi, 1)],
             memkv_ref.at[0, 1, pl.ds(hi, 1)],
             cout_s, info_s,
@@ -407,6 +426,16 @@ def _mega_kernel(
     )
     x_s[...] = out32.astype(mdt)
 
+    # ---- cache writeback (last grid step only) ------------------------------
+    @pl.when(jnp.logical_and(s_ix == pl.num_programs(0) - 1, l == depth - 1))
+    def _writeback():
+        c1 = pltpu.make_async_copy(ckv_all_s, ckv_out, csem.at[0])
+        c2 = pltpu.make_async_copy(ring_all_s, ring_out, rsem)
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
     # ---- final norm + LM head (last layer step) -----------------------------
     @pl.when(l == depth - 1)
     def _logits():
@@ -423,23 +452,29 @@ def _mega_kernel(
         logits_ref[...] = lgq
         if greedy:
             # in-kernel greedy sampling: min-index-of-max matches
-            # jnp.argmax's first-max tie-breaking
+            # jnp.argmax's first-max tie-breaking.  The token goes to the
+            # [steps, b] output column AND to the tok_s feedback scratch
+            # the next token step's embedding reads.
             vocab = lgq.shape[1]
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+            picks = []
             for r in range(b):
                 row = lgq[r:r + 1, :]
                 mx = jnp.max(row, axis=-1, keepdims=True)
-                tok_out[r:r + 1, :] = jnp.min(
+                pick = jnp.min(
                     jnp.where(row >= mx, ids, 2 ** 30),
                     axis=-1, keepdims=True,
-                )
+                )                                           # [1, 1]
+                tok_s[r:r + 1, :] = pick
+                picks.append(pick)
+            tok_out[pl.ds(s_ix, 1), :] = jnp.concatenate(picks, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
                      "sel_block", "num_sel", "n_slide", "window", "scale",
-                     "eps", "theta", "greedy", "interpret"),
+                     "eps", "theta", "greedy", "steps", "interpret"),
 )
 def decode_step_mega(
     mp: dict,
@@ -450,13 +485,19 @@ def decode_step_mega(
     t: jnp.ndarray,          # scalar int32: tokens already cached
     *, depth: int, heads: int, kv_heads: int, dim_head: int, stride: int,
     sel_block: int, num_sel: int, n_slide: int, window: int, scale: float,
-    eps: float, theta: float, greedy: bool = False,
+    eps: float, theta: float, greedy: bool = False, steps: int = 1,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
-    """One whole-model decode step -> (logits [b, vocab] f32, kv, ckv, ring),
-    or with ``greedy=True`` -> (logits, next_token [b, 1] int32, kv, ckv,
-    ring) with the argmax sampled IN-KERNEL — the decode scan body then
-    contains no per-step XLA work at all beyond the position counter.
+    """Whole-model decode -> (logits [b, vocab] f32, kv, ckv, ring), or
+    with ``greedy=True`` -> (logits, tokens [b, steps] int32, kv, ckv,
+    ring) with the argmax sampled IN-KERNEL.
+
+    ``steps > 1`` (greedy only) decodes that many consecutive tokens in
+    ONE launch: grid (steps, depth), with the sampled token fed back
+    through scratch — launch cost amortizes across the chunk and the
+    scan body contains no per-step XLA work at all.  ``tokens[:, i]`` is
+    the token sampled AFTER consuming position t+i (so tokens[:, :-1]
+    are the next steps' inputs and tokens[:, -1] is the carry).
 
     ``mp`` is the stacked parameter dict from
     models.transformer.pack_mega_params.  The caches are stacked across
@@ -476,6 +517,7 @@ def decode_step_mega(
     max_blocks = max_len // sel_block
     interpret = resolve_interpret(interpret)
     assert b <= 8, "megakernel decode targets the small-batch regime"
+    assert steps == 1 or greedy, "multi-step decode requires greedy"
 
     scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 
@@ -483,12 +525,12 @@ def decode_step_mega(
     mdt = mp["token_emb"].dtype
 
     def c(ix):
-        """index_map for operands constant over the layer grid."""
-        return lambda l, s, tk: ix
+        """index_map for operands constant over the whole grid."""
+        return lambda si, l, sc, tk: ix
 
     def per_l(nd):
-        """index_map for [L, ...] stacked operands blocked on the grid."""
-        return lambda l, s, tk: (l,) + (0,) * nd
+        """index_map for [L, ...] stacked operands blocked per layer."""
+        return lambda si, l, sc, tk: (l,) + (0,) * nd
 
     M = mp["mem_kv"].shape[3]
     in_specs = [
@@ -514,10 +556,8 @@ def decode_step_mega(
         pl.BlockSpec((1, 1, hid4), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hid4, dim), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, kvh, Wc, 2 * d), per_l(4),
-                     memory_space=pltpu.VMEM),                  # ckv
-        pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
-                     memory_space=pltpu.VMEM),                  # ring
+        _hbm_spec(interpret),                                   # ckv
+        _hbm_spec(interpret),                                   # ring
         _hbm_spec(interpret),                                   # kv
     ]
     operands = [
@@ -537,13 +577,12 @@ def decode_step_mega(
     out_shapes = [jax.ShapeDtypeStruct((b, vocab), jnp.float32)]
     if greedy:
         out_specs.append(
-            pl.BlockSpec((b, 1), c((0, 0)), memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((b, 1), jnp.int32))
+            pl.BlockSpec((steps, b), c((0, 0)), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((steps, b), jnp.int32))
     cache_out_base = len(out_specs)
     out_specs += [
         _hbm_spec(interpret),                                   # ckv (aliased)
-        pl.BlockSpec((1, b, kvh, Bc, 2 * d), per_l(4),
-                     memory_space=pltpu.VMEM),                  # ring (aliased)
+        _hbm_spec(interpret),                                   # ring (aliased)
         _hbm_spec(interpret),                                   # kv (aliased)
     ]
     out_shapes += [
@@ -554,7 +593,7 @@ def decode_step_mega(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(depth,),
+        grid=(steps, depth),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -567,8 +606,11 @@ def decode_step_mega(
             pltpu.VMEM((b, INFO_WIDTH), jnp.int32),             # info_s
             pltpu.VMEM((b, n_slots * sel_block, 2 * d), cdt),   # fkv_s
             pltpu.VMEM((b, 8, 2 * d), cdt),                     # wkv_s
-            pltpu.VMEM((b, 8, 2 * d), cdt),                     # wck_s
             pltpu.VMEM((8, dim), mdt),                          # embw_s
+            pltpu.VMEM(ckv.shape, cdt),                         # ckv_all_s
+            pltpu.VMEM((b, 1, Wc, 2 * d), cdt),                 # ckv_sel_s
+            pltpu.VMEM(ring.shape, cdt),                        # ring_all_s
+            pltpu.VMEM((b, 1), jnp.int32),                      # tok_s
             pltpu.VMEM((Bc * d, hid), cdt),                     # w1k_s
             pltpu.VMEM((Bc * d, hid), cdt),                     # w1v_s
             pltpu.VMEM((hid, 2 * d), cdt),                      # w2c_s
@@ -576,6 +618,7 @@ def decode_step_mega(
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -597,6 +640,6 @@ def decode_step_mega(
     )(scal, token.astype(jnp.int32), *operands)
     if greedy:
         logits, tok, new_ckv, new_ring, new_kv = outs
-        return logits, tok, new_kv, new_ckv, new_ring
+        return logits, tok.T, new_kv, new_ckv, new_ring
     logits, new_ckv, new_ring, new_kv = outs
     return logits, new_kv, new_ckv, new_ring

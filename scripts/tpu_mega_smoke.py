@@ -52,18 +52,18 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def decode_scan_mega(cfg, gen):
+def decode_scan_mega(cfg, gen, steps=1):
     @lazy_jit
     def scan(mp, first, kv, ckv, ring, t0):
         def step(carry, i):
             tok, kv, ckv, ring = carry
-            lg, kv, ckv, ring = transformer_decode_step_mega(
-                mp, cfg, tok, kv, ckv, ring, t0 + i)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            return (nxt, kv, ckv, ring), tok
+            _, toks, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t0 + i * steps,
+                greedy=True, steps=steps)
+            return (toks[:, -1], kv, ckv, ring), toks
 
         (_, _, _, _), toks = jax.lax.scan(
-            step, (first, kv, ckv, ring), jnp.arange(gen))
+            step, (first, kv, ckv, ring), jnp.arange(gen // steps))
         return toks
     return scan
 
@@ -171,6 +171,13 @@ def main():
     log(f"mega: {dt_m * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_m:.0f} tok/s)")
 
+    log("timing megakernel scan, 8 tokens per launch...")
+    scan_m8 = decode_scan_mega(cfg, gen, steps=8)
+    dt_m8 = _time_fn(scan_m8, mp, first, kv, ckv, ring, t0,
+                     warmup=1, iters=5, vary=1)
+    log(f"mega-x8: {dt_m8 * 1e3 / gen:.4f} ms/step "
+        f"({b * gen / dt_m8:.0f} tok/s)")
+
     log("timing fused 2-kernel path scan...")
     scan_l = decode_scan_layers(cfg, gen)
     dt_l = _time_fn(scan_l, params, first, cache, warmup=1, iters=5, vary=1)
@@ -195,8 +202,9 @@ def main():
     log(f"full-attn: {dt_f * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_f:.0f} tok/s)")
     log(f"SUMMARY bs={b} gen={gen} max_len={args.max_len}: "
-        f"mega {dt_m * 1e3 / gen:.4f} ms | fused {dt_l * 1e3 / gen:.4f} ms "
-        f"| full {dt_f * 1e3 / gen:.4f} ms | mega/full = {dt_f / dt_m:.2f}x")
+        f"mega {dt_m * 1e3 / gen:.4f} ms | mega-x8 {dt_m8 * 1e3 / gen:.4f} ms"
+        f" | fused {dt_l * 1e3 / gen:.4f} ms "
+        f"| full {dt_f * 1e3 / gen:.4f} ms | full/mega-x8 = {dt_f / dt_m8:.2f}x")
 
 
 if __name__ == "__main__":

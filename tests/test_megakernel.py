@@ -136,6 +136,45 @@ class TestMegakernelEquivalence:
             np.testing.assert_array_equal(np.asarray(nxt)[:, 0], want)
             tok = nxt[:, 0]
 
+    def test_multi_step_launch_matches_single_steps(self):
+        """steps=4: one launch decodes 4 tokens with in-kernel greedy
+        feedback — must match 4 single-step launches token-for-token."""
+        cfg = _cfg()
+        params = init_transformer(jax.random.PRNGKey(9), cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(10), (1, 9), 0, cfg.vocab_size)
+        logits, cache = transformer_prefill(params, cfg, prompt, 64)
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        mp = pack_mega_params(params, cfg)
+        t0 = cache.seq_len
+
+        kv, ckv, ring = stack_decode_caches(cache)
+        tok = first
+        single = []
+        for i in range(8):
+            _, nxt, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t0 + i, greedy=True)
+            single.append(int(np.asarray(nxt)[0, 0]))
+            tok = nxt[:, 0]
+        kv_s, ckv_s, ring_s = kv, ckv, ring
+
+        kv, ckv, ring = stack_decode_caches(cache)
+        tok = first
+        multi = []
+        for c in range(2):
+            lg, toks, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t0 + 4 * c, greedy=True,
+                steps=4)
+            multi.extend(int(x) for x in np.asarray(toks)[0])
+            tok = toks[:, -1]
+
+        assert single == multi
+        for name, a, m in (("kv", kv_s, kv), ("ckv", ckv_s, ckv),
+                           ("ring", ring_s, ring)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(m), rtol=2e-4, atol=2e-4,
+                err_msg=name)
+
     def test_transformer_sample_mega_path(self):
         """transformer_sample under NSA_MEGA_DECODE=1 == default path."""
         import os
