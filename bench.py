@@ -39,7 +39,11 @@ def _load_trained(name: str, cfg):
     """Prefer the trained seq-4096 checkpoint (selection-index/gather
     locality under trained gates is the honest distribution to time);
     fall back to random init when absent."""
-    from nsa_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+    from nsa_tpu.utils.checkpoint import (
+        import_params_npz,
+        latest_checkpoint,
+        restore_checkpoint,
+    )
 
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     for d in (f"ckpt/{name}_seq4096", f"ckpt/{name}_seq512"):
@@ -48,6 +52,15 @@ def _load_trained(name: str, cfg):
             state, _ = restore_checkpoint(ckpt, {"params": params})
             print(f"# {name}: loaded {ckpt}", file=sys.stderr)
             return state["params"], "trained"
+    # committed single-file export survives host migrations (ckpt/ is
+    # gitignored and has been wiped twice) — see utils/checkpoint.py
+    for npz in (f"ckpt_export/{name}_seq4096.npz",
+                f"ckpt_export/{name}_seq512.npz"):
+        if os.path.isfile(npz):
+            loaded, meta = import_params_npz(npz, params)
+            print(f"# {name}: loaded {npz} (step {meta.get('step')})",
+                  file=sys.stderr)
+            return loaded, "trained"
     print(f"# {name}: WARNING no checkpoint found, RANDOM INIT — selection "
           "distribution is untrained; retrain with scripts/pretrain.py",
           file=sys.stderr)

@@ -220,7 +220,12 @@ def pack_mega_params(params: dict, cfg: ModelConfig) -> dict:
             lambda l: l["attn"]["norm_scale"][None].astype(dtype)),
         "w_qkvg": stack(cat_qkvg),
         "gate_b": stack(lambda l: l["attn"]["gate_b"][None].astype(dtype)),
-        "mem_kv": stack(lambda l: l["attn"]["mem_kv"].astype(dtype)),
+        # mem_kv stays f32: its [.., M=2, d] block puts M on the sublane
+        # dim, and bf16's (2,1) sublane packing makes the extent-1 slices
+        # Mosaic emits for the tiny sim_m matmul illegal ("slice shape
+        # along dimension 3 must be aligned to tiling (2)", r4c smoke);
+        # _select_math upcasts it immediately and it is ~4 KB total.
+        "mem_kv": stack(lambda l: l["attn"]["mem_kv"].astype(jnp.float32)),
         "pos_kv": stack(lambda l: jnp.concatenate(
             [l["attn"]["k_pos"], l["attn"]["v_pos"]], axis=-1
         ).astype(dtype)),

@@ -97,7 +97,7 @@ def _batched_matvec_av(attn, cv):
     )
 
 
-def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
+def _select_math(t, num_cb, q_ref, ckv_ref, memk, memv, cout_ref,
                  info_ref, *, scale, stride, sel_block, num_sel, n_slide,
                  max_blocks):
     """Compressed attention + selection pipeline (shared with round-2
@@ -105,7 +105,13 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
 
     ``t`` / ``num_cb`` are int32 VALUES: scalars (single-position decode)
     or [Bt] vectors (ragged decode — every row at its own position); all
-    position math broadcasts over the row dim either way."""
+    position math broadcasts over the row dim either way.
+
+    ``memk`` / ``memv`` are f32 VALUES [M, d], not refs: the megakernel
+    sources them by statically indexing one full-extent load of its
+    stacked [1, 2, kvh, M, d] operand — ref views sliced through the
+    tiled (M, d) dims are Mosaic-illegal ("slice shape along dimension
+    3/4 must be aligned to tiling", r4c smoke)."""
     Bt, _, g, d = q_ref.shape
     Wc = ckv_ref.shape[2]
     npf = sel_block // stride
@@ -126,7 +132,6 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
     cb_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, Wc), 2)
     sim_c = jnp.where(cb_ids < ncb_r2, sim_c, NEG)
 
-    memk = memk_ref[0].astype(jnp.float32)                 # [M, d]
     sim_m = jax.lax.dot_general(
         q, memk, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -149,7 +154,7 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
             preferred_element_type=jnp.float32,
         )
     c_out = c_out + jax.lax.dot_general(
-        attn_m, memv_ref[0].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        attn_m, memv, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     cout_ref[:, 0] = c_out.astype(cout_ref.dtype)
@@ -317,8 +322,9 @@ def _select_emit_kernel(
 
     # ---- compressed attention + selection (reads the pre-update ckv) -----
     _select_math(
-        t, scal_ref[1], q_ref, ckv_ref, memk_ref, memv_ref, cout_ref,
-        info_ref, scale=scale, stride=stride, sel_block=sel_block,
+        t, scal_ref[1], q_ref, ckv_ref,
+        memk_ref[0].astype(jnp.float32), memv_ref[0].astype(jnp.float32),
+        cout_ref, info_ref, scale=scale, stride=stride, sel_block=sel_block,
         num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
     )
 
@@ -530,7 +536,7 @@ def _gelu_exact(h):
     return out.astype(h.dtype)
 
 
-def _ff_tail(y32, resid_dtype, ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_s,
+def _ff_tail(y32, resid_dtype, ffnorm, ffb1, ffb2, ffw1_s,
              ffw2_s, *, eps):
     """Feed-forward block over the accumulated residual stream, matching
     models.transformer._ff_apply (gelu kind) op-for-op: the stream is
@@ -541,16 +547,16 @@ def _ff_tail(y32, resid_dtype, ffnorm_ref, ffb1_ref, ffb2_ref, ffw1_s,
     yf = y16.astype(jnp.float32)
     var = jnp.mean(yf * yf, axis=-1, keepdims=True)
     normed = (yf * jax.lax.rsqrt(var + eps)
-              * ffnorm_ref[0].astype(jnp.float32)).astype(resid_dtype)
+              * ffnorm.astype(jnp.float32)).astype(resid_dtype)
     h = jax.lax.dot_general(
         normed, ffw1_s[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(resid_dtype) + ffb1_ref[0].astype(resid_dtype)
+    ).astype(resid_dtype) + ffb1.astype(resid_dtype)
     h = _gelu_exact(h)
     o = jax.lax.dot_general(
         h, ffw2_s[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(resid_dtype) + ffb2_ref[0].astype(resid_dtype)
+    ).astype(resid_dtype) + ffb2.astype(resid_dtype)
     return (y16 + o).astype(jnp.float32)
 
 
@@ -698,8 +704,8 @@ def _attend_fused_kernel(
         @pl.when(hi == pl.num_programs(1) - 1)
         def _ff():
             out_ref[:, 0] = _ff_tail(
-                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
-                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref[0], ffb1_ref[0],
+                ffb2_ref[0], ffw1_s, ffw2_s, eps=eps,
             )
 
 
@@ -940,7 +946,9 @@ def _select_emit_ragged_kernel(
                 wr.wait()
 
     _select_math(
-        tv, ncb_v, q_ref, ckv_ref, memk_ref, memv_ref, cout_ref, info_ref,
+        tv, ncb_v, q_ref, ckv_ref,
+        memk_ref[0].astype(jnp.float32), memv_ref[0].astype(jnp.float32),
+        cout_ref, info_ref,
         scale=scale, stride=stride, sel_block=sel_block, num_sel=num_sel,
         n_slide=n_slide, max_blocks=max_blocks,
     )
@@ -1185,8 +1193,8 @@ def _attend_fused_ragged_kernel(
         @pl.when(hi == pl.num_programs(1) - 1)
         def _ff():
             out_ref[:, 0] = _ff_tail(
-                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
-                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref[0], ffb1_ref[0],
+                ffb2_ref[0], ffw1_s, ffw2_s, eps=eps,
             )
 
 
@@ -1469,8 +1477,8 @@ def _attend_fused_paged_kernel(
         @pl.when(hi == pl.num_programs(1) - 1)
         def _ff():
             out_ref[:, 0] = _ff_tail(
-                out_ref[:, 0], resid_ref.dtype, ffnorm_ref, ffb1_ref,
-                ffb2_ref, ffw1_s, ffw2_s, eps=eps,
+                out_ref[:, 0], resid_ref.dtype, ffnorm_ref[0], ffb1_ref[0],
+                ffb2_ref[0], ffw1_s, ffw2_s, eps=eps,
             )
 
 

@@ -233,7 +233,13 @@ def _mega_kernel(
     kf = proj[:, din:din + dkv]
     vf = proj[:, din + dkv:din + 2 * dkv]
     gl = proj[:, din + 2 * dkv:]
-    gates = jax.nn.sigmoid(gl + gateb_ref[0, 0].astype(mdt))  # [b, 3h] mdt
+    # sigmoid in f32: Mosaic's bf16 `logistic` lowering emits an illegal
+    # f32->bf16 vector.broadcast (verified on chip, r4c); the XLA path
+    # computes gates from the f32 projection anyway, so this also matches
+    # its numerics more closely.
+    gates = jax.nn.sigmoid(
+        gl.astype(jnp.float32) + gateb_ref[0, 0].astype(jnp.float32)
+    ).astype(mdt)                                           # [b, 3h] mdt
 
     # ---- rotary at position t (matmul lane-swap form, f32 like the XLA path)
     cvec = cs_s[0:1, :]
@@ -250,6 +256,12 @@ def _mega_kernel(
         preferred_element_type=jnp.float32,
     )
     rkf = (kf32 * cvec[:, :dkv] + ksw * svec[:, :dkv]).astype(mdt)
+
+    # full-extent load of this layer's mem-KV (legal: no slicing through
+    # the tiled (M, d) dims), indexed per head STATICALLY below — ref
+    # views like memkv_ref.at[0, 0, pl.ds(hi, 1)] fail Mosaic's tiling
+    # alignment checks on both bf16 and f32 layouts (r4c smoke)
+    memkv_all = memkv_ref[0].astype(jnp.float32)            # [2, kvh, M, d]
 
     y = None                                                # f32 [b, dim]
     for hi in range(kvh):
@@ -351,8 +363,7 @@ def _mega_kernel(
         ckv_sel_s[:, 0] = ckv_all_s[l, :, hi]
         _select_math(
             t, num_cb, q_s, ckv_sel_s,
-            memkv_ref.at[0, 0, pl.ds(hi, 1)],
-            memkv_ref.at[0, 1, pl.ds(hi, 1)],
+            memkv_all[0, hi], memkv_all[1, hi],
             cout_s, info_s,
             scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
@@ -420,8 +431,12 @@ def _mega_kernel(
 
     # ---- residual + feed-forward ------------------------------------------
     y32 = x.astype(jnp.float32) + y
+    # vectors as single-op loads ([0, 0] indexing): a .at[0] view + inner
+    # [0] load stacks two memref_slices through the bf16-padded sublane
+    # dim, which Mosaic rejects ("dimension 1 must be aligned to tiling
+    # (2)", r4c smoke); the big ffw matrices stay as full-extent views
     out32 = _ff_tail(
-        y32, mdt, fnorm_ref.at[0], fb1_ref.at[0], fb2_ref.at[0],
+        y32, mdt, fnorm_ref[0, 0], fb1_ref[0, 0], fb2_ref[0, 0],
         fw1_ref.at[0], fw2_ref.at[0], eps=eps,
     )
     x_s[...] = out32.astype(mdt)

@@ -204,4 +204,17 @@ def run_pretrain(
             print("--- sample ---")
             print(decode_bytes(np.asarray(sampled)[0]))
 
+    # Durable single-file export next to the (gitignored, migration-prone)
+    # Orbax tree: ckpt_export/<run-name>.npz is small enough to commit, so
+    # the trained weights survive host migrations (lost twice: RESULTS.md).
+    from ..utils.checkpoint import export_params_npz
+
+    export_name = os.path.basename(os.path.normpath(train_cfg.ckpt_dir))
+    export_path = export_params_npz(
+        os.path.join("ckpt_export", f"{export_name}.npz"),
+        jax.device_get(params), model_cfg,
+        extra={"step": train_cfg.num_batches, "loss": loss},
+    )
+    print(f"exported weights: {export_path}")
+
     return params, loss

@@ -110,3 +110,77 @@ def model_config_from_checkpoint(path: str) -> ModelConfig:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return model_config_from_json(json.dumps(meta["model_config"]))
+
+
+# ---------------------------------------------------------------------------
+# Durable single-file weight export (git-committable)
+#
+# Orbax checkpoint trees live under gitignored ckpt/ and have twice been
+# lost to host migrations mid-round (RESULTS.md r3/r4).  A bf16 export of
+# the 19M-param reference model is ~38 MB — small enough to commit — so
+# trained weights survive the machine.  Keys are jax tree paths
+# (keystr), not flatten order, so restore is robust to pytree-structure
+# refactors that keep leaf names.
+# ---------------------------------------------------------------------------
+
+
+def export_params_npz(
+    path: str,
+    params: Any,
+    model_cfg: Optional[ModelConfig] = None,
+    extra: Optional[dict] = None,
+) -> str:
+    """Write params to one ``.npz``, preserving each leaf's dtype.
+
+    bfloat16 leaves are stored as their uint16 bit pattern (numpy's npz
+    writer has no native bfloat16) with the true dtype recorded in the
+    embedded meta; everything else is stored as-is.
+    """
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {}
+    dtypes = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = jax.tree_util.keystr(kp)
+        x = np.asarray(leaf)
+        dtypes[key] = str(x.dtype)
+        if x.dtype.itemsize == 2 and "bfloat16" in str(x.dtype):
+            x = x.view(np.uint16)
+        arrays[key] = x
+    meta = {"dtypes": dtypes, **(extra or {})}
+    if model_cfg is not None:
+        meta["model_config"] = json.loads(config_to_json(model_cfg))
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def import_params_npz(path: str, template: Any) -> Tuple[Any, dict]:
+    """Restore a params pytree from :func:`export_params_npz` output.
+
+    ``template`` supplies the pytree structure; leaves are matched by
+    tree path.  Returned leaves keep their EXPORTED dtype (callers cast
+    as needed).  Raises ``KeyError`` naming any template path absent
+    from the file.
+    """
+    import ml_dtypes
+
+    data = np.load(os.path.abspath(path))
+    meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+    dtypes = meta.get("dtypes", {})
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, _ in paths:
+        key = jax.tree_util.keystr(kp)
+        if key not in data:
+            raise KeyError(f"{path} is missing leaf {key!r}")
+        x = data[key]
+        if dtypes.get(key) == "bfloat16":
+            x = x.view(ml_dtypes.bfloat16)
+        leaves.append(x)
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
