@@ -186,6 +186,11 @@ def run_pretrain(
                 extra={"loss": loss},
             )
             print(f"saved checkpoint: {path}")
+            # Refresh the durable npz export at every save, not just run
+            # end: host migrations have wiped the gitignored Orbax tree
+            # mid-run twice (RESULTS.md); a partial-step export that can
+            # be committed beats a perfect one that never got written.
+            _export_npz(train_cfg, params, model_cfg, step + 1, loss)
 
         if step % train_cfg.validate_every == 0:
             vbatch = sample_batch(val_data, micro, seq, rng)
@@ -207,14 +212,18 @@ def run_pretrain(
     # Durable single-file export next to the (gitignored, migration-prone)
     # Orbax tree: ckpt_export/<run-name>.npz is small enough to commit, so
     # the trained weights survive host migrations (lost twice: RESULTS.md).
+    _export_npz(train_cfg, params, model_cfg, train_cfg.num_batches, loss)
+
+    return params, loss
+
+
+def _export_npz(train_cfg, params, model_cfg, step: int, loss: float) -> None:
     from ..utils.checkpoint import export_params_npz
 
     export_name = os.path.basename(os.path.normpath(train_cfg.ckpt_dir))
     export_path = export_params_npz(
         os.path.join("ckpt_export", f"{export_name}.npz"),
         jax.device_get(params), model_cfg,
-        extra={"step": train_cfg.num_batches, "loss": loss},
+        extra={"step": step, "loss": loss},
     )
-    print(f"exported weights: {export_path}")
-
-    return params, loss
+    print(f"exported weights: {export_path} (step {step})")
