@@ -220,10 +220,19 @@ def run_pretrain(
 def _export_npz(train_cfg, params, model_cfg, step: int, loss: float) -> None:
     from ..utils.checkpoint import export_params_npz
 
+    # bf16-cast the float leaves: every consumer of this artifact (bench,
+    # serving, eval sweeps) runs the model in bf16 anyway, and the f32
+    # master copy is 285 MB (the GroupedMLP compressor w1 dominates) —
+    # too heavy to keep committing.  Orbax retains full f32 for resume.
+    export = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        jax.device_get(params),
+    )
     export_name = os.path.basename(os.path.normpath(train_cfg.ckpt_dir))
     export_path = export_params_npz(
         os.path.join("ckpt_export", f"{export_name}.npz"),
-        jax.device_get(params), model_cfg,
-        extra={"step": step, "loss": loss},
+        export, model_cfg,
+        extra={"step": step, "loss": loss, "export_dtype": "bfloat16"},
     )
     print(f"exported weights: {export_path} (step {step})")
