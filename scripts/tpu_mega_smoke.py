@@ -184,8 +184,9 @@ def main():
                             - ring_m.astype(np.float32)).max())
     log(f"teacher-forced rollout {steps} steps: "
         f"logit maxdiff per-step max={max(per_step):.4f} "
-        f"(first5={['%.3f' % v for v in per_step[:5]]}) "
         f"greedy agreement {agree}/{steps}")
+    log("per-step logit maxdiff: "
+        + " ".join(f"{v:.3f}" for v in per_step))
     log(f"cache state: kv_err={kv_err:.5f} ckv_err={ckv_err:.5f} "
         f"ring_err={ring_err:.5f}")
     cache_tol = 1e-4 if args.f32 else 0.05
