@@ -153,7 +153,10 @@ def run_pretrain(
     loss = float("nan")
     t_start = time.time()
     t_window = t_start
+    last_step = start_step          # actual steps completed (early stop aware)
+    last_export_step = -1           # step stamped on the newest npz export
     for step in range(start_step, train_cfg.num_batches):
+        last_step = step + 1
         batch = np.stack(
             [sample_batch(train_data, micro, seq, rng) for _ in range(accum)]
         )
@@ -178,6 +181,8 @@ def run_pretrain(
                 train_cfg.ckpt_dir, step + 1, params, opt_state, model_cfg,
                 extra={"loss": loss, "early_stop": True},
             )
+            _export_npz(train_cfg, params, model_cfg, step + 1, loss)
+            last_export_step = step + 1
             break
 
         if (step + 1) % train_cfg.ckpt_every == 0:
@@ -191,6 +196,7 @@ def run_pretrain(
             # mid-run twice (RESULTS.md); a partial-step export that can
             # be committed beats a perfect one that never got written.
             _export_npz(train_cfg, params, model_cfg, step + 1, loss)
+            last_export_step = step + 1
 
         if step % train_cfg.validate_every == 0:
             vbatch = sample_batch(val_data, micro, seq, rng)
@@ -212,7 +218,10 @@ def run_pretrain(
     # Durable single-file export next to the (gitignored, migration-prone)
     # Orbax tree: ckpt_export/<run-name>.npz is small enough to commit, so
     # the trained weights survive host migrations (lost twice: RESULTS.md).
-    _export_npz(train_cfg, params, model_cfg, train_cfg.num_batches, loss)
+    # Stamp the ACTUAL last completed step (early stop breaks before
+    # num_batches); skip when the in-loop export already covers it.
+    if last_export_step != last_step:
+        _export_npz(train_cfg, params, model_cfg, last_step, loss)
 
     return params, loss
 

@@ -30,11 +30,14 @@ def shrink(path: str) -> None:
         if key == "__meta__":
             continue
         x = data[key]
-        if meta["dtypes"].get(key) == "float32":
+        dt = meta.get("dtypes", {}).get(key)
+        if dt == "float32":
             x = x.astype(ml_dtypes.bfloat16).view(np.uint16)
             dtypes[key] = "bfloat16"
         else:
-            dtypes[key] = meta["dtypes"][key]
+            # pass through untouched; a missing dtypes entry (malformed or
+            # pre-dtypes export) records the on-disk dtype rather than crashing
+            dtypes[key] = dt or str(x.dtype)
         arrays[key] = x
     meta["dtypes"] = dtypes
     meta["export_dtype"] = "bfloat16"

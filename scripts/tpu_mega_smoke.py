@@ -170,10 +170,12 @@ def main():
                 for m, f in zip(mega_lgs, forced))
     t_last = t0 + steps - 1
     # compare only state this rollout touched / selection can see: the kv
-    # rows written (t0..t_last), complete ckv slots (< num_cb at t_last;
-    # the layer path also writes a trash/spare row the megakernel doesn't),
-    # and the whole ring (same teacher-forced token stream on both sides)
-    num_cb = t_last // cfg.nsa.compress_block_sliding_stride
+    # rows written (t0..t_last), every ckv slot emitted by the end of the
+    # rollout — (t_last+1)//stride, including the slot emitted ON the final
+    # step, the most boundary-sensitive one (the layer path also writes a
+    # trash/spare row beyond that which the megakernel doesn't) — and the
+    # whole ring (same teacher-forced token stream on both sides)
+    num_cb = (t_last + 1) // cfg.nsa.compress_block_sliding_stride
     kv_err = float(np.abs(
         kv_r[:, :, :, t0:t_last + 1].astype(np.float32)
         - kv_m[:, :, :, t0:t_last + 1].astype(np.float32)).max())
