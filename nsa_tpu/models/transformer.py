@@ -261,7 +261,7 @@ def stack_decode_caches(cache: ModelCache):
 
 def transformer_decode_step_mega(
     mp: dict, cfg: ModelConfig, token: jnp.ndarray, kv, ckv, ring, t,
-    greedy: bool = False, steps: int = 1,
+    greedy: bool = False, steps: int = 1, resident: bool | None = None,
 ):
     """Whole-model decode through the megakernel:
     -> (logits [b, vocab] f32, kv, ckv, ring), or with ``greedy=True``
@@ -281,6 +281,7 @@ def transformer_decode_step_mega(
         n_slide=-(-nsa.sliding_window_size // Bs) + 1,
         window=nsa.sliding_window_size, scale=cfg.dim_head ** -0.5,
         eps=cfg.norm_eps, theta=cfg.rope_theta, greedy=greedy, steps=steps,
+        resident=resident,
     )
 
 

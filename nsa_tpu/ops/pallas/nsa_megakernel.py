@@ -96,9 +96,14 @@ def _mega_kernel(
     onorm_ref,      # [1, dim] final norm scale
     tolog_ref,      # [dim, vocab] LM head
     # stacked per-layer weights (blocked on the layer grid dim; per-layer
-    # VECTORS carry a singleton middle dim for block-shape legality)
+    # VECTORS carry a singleton middle dim for block-shape legality).
+    # Under ``resident`` the four BIG matrices (wqkvg/wout/fw1/fw2 — ~97%
+    # of the per-token weight bytes) arrive as HBM refs instead and are
+    # DMA'd ONCE per launch into [L, ...] VMEM scratch: a blocked operand
+    # is refetched every grid step, so a multi-token launch would re-read
+    # ~35 MB of weights per TOKEN; resident cuts that to once per LAUNCH.
     anorm_ref,      # [1, 1, dim] attn norm scale
-    wqkvg_ref,      # [1, dim, P] fused q|k|v|gate projection
+    wqkvg_ref,      # [1, dim, P] fused q|k|v|gate proj (HBM [L,...] if resident)
     gateb_ref,      # [1, 1, 3h] gate bias
     memkv_ref,      # [1, 2, kvh, M, d]
     poskv_ref,      # [1, kvh, Bc, 2d] packed k_pos||v_pos
@@ -108,11 +113,11 @@ def _mega_kernel(
     w1k_hbm,        # ANY [L, kvh, Bc*d, hid] (DMA'd on emission steps)
     w1v_hbm,        # ANY [L, kvh, Bc*d, hid]
     w2c_hbm,        # ANY [L, kvh, hid, 2d]
-    wout_ref,       # [1, din, dim]
+    wout_ref,       # [1, din, dim] (HBM [L,...] if resident)
     fnorm_ref,      # [1, 1, dim] FF norm scale
-    fw1_ref,        # [1, dim, hid4]
+    fw1_ref,        # [1, dim, hid4] (HBM [L,...] if resident)
     fb1_ref,        # [1, 1, hid4]
-    fw2_ref,        # [1, hid4, dim]
+    fw2_ref,        # [1, hid4, dim] (HBM [L,...] if resident)
     fb2_ref,        # [1, 1, dim]
     # stacked caches (all ANY: ckv and ring are loaded into VMEM scratch
     # at launch start and written back once at the end, so every token
@@ -125,8 +130,11 @@ def _mega_kernel(
     *rest_refs,     # logits [b, vocab] f32, (tok_out [steps, b] int32,)
                     # ckv_out ANY, ring_out ANY, kv_out ANY, scratch...
     scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
-    eps, depth, theta, greedy,
+    eps, depth, theta, greedy, resident,
 ):
+    if resident:
+        rest_refs, res_tail = rest_refs[:-5], rest_refs[-5:]
+        wqkvg_all_s, wout_all_s, fw1_all_s, fw2_all_s, ressems = res_tail
     if greedy:
         (logits_ref, tok_out, ckv_out, ring_out, kv_out, x_s, cs_s, q_s,
          rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, embw_s, ckv_all_s,
@@ -179,6 +187,19 @@ def _mega_kernel(
         c2 = pltpu.make_async_copy(ring_hbm, ring_all_s, rsem)
         c1.start()
         c2.start()
+        if resident:
+            # one ~35 MB weight DMA per LAUNCH (vs per token step when
+            # blocked); overlapped with the cache loads above
+            cps = [
+                pltpu.make_async_copy(wqkvg_ref, wqkvg_all_s, ressems.at[0]),
+                pltpu.make_async_copy(wout_ref, wout_all_s, ressems.at[1]),
+                pltpu.make_async_copy(fw1_ref, fw1_all_s, ressems.at[2]),
+                pltpu.make_async_copy(fw2_ref, fw2_all_s, ressems.at[3]),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
         c1.wait()
         c2.wait()
 
@@ -225,7 +246,7 @@ def _mega_kernel(
     normed = (xf * jax.lax.rsqrt(var + eps)
               * anorm_ref[0, 0].astype(jnp.float32)).astype(mdt)
     proj = jax.lax.dot_general(
-        normed, wqkvg_ref[0],
+        normed, wqkvg_all_s[l] if resident else wqkvg_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(mdt)                                           # [b, P]
@@ -421,7 +442,8 @@ def _mega_kernel(
         )                                                   # [b, g, d] f32
         comb16 = combined.astype(cdt)
         for gi in range(g):
-            wsl = wout_ref[0, (hi * g + gi) * d:(hi * g + gi + 1) * d, :]
+            sl = slice((hi * g + gi) * d, (hi * g + gi + 1) * d)
+            wsl = wout_all_s[l, sl, :] if resident else wout_ref[0, sl, :]
             pg = jax.lax.dot_general(
                 comb16[:, gi, :], wsl.astype(cdt),
                 (((1,), (0,)), ((), ())),
@@ -437,7 +459,9 @@ def _mega_kernel(
     # (2)", r4c smoke); the big ffw matrices stay as full-extent views
     out32 = _ff_tail(
         y32, mdt, fnorm_ref[0, 0], fb1_ref[0, 0], fb2_ref[0, 0],
-        fw1_ref.at[0], fw2_ref.at[0], eps=eps,
+        fw1_all_s.at[l] if resident else fw1_ref.at[0],
+        fw2_all_s.at[l] if resident else fw2_ref.at[0],
+        eps=eps,
     )
     x_s[...] = out32.astype(mdt)
 
@@ -489,7 +513,8 @@ def _mega_kernel(
     jax.jit,
     static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
                      "sel_block", "num_sel", "n_slide", "window", "scale",
-                     "eps", "theta", "greedy", "steps", "interpret"),
+                     "eps", "theta", "greedy", "steps", "interpret",
+                     "resident"),
 )
 def decode_step_mega(
     mp: dict,
@@ -501,7 +526,7 @@ def decode_step_mega(
     *, depth: int, heads: int, kv_heads: int, dim_head: int, stride: int,
     sel_block: int, num_sel: int, n_slide: int, window: int, scale: float,
     eps: float, theta: float, greedy: bool = False, steps: int = 1,
-    interpret: bool | None = None,
+    interpret: bool | None = None, resident: bool | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Whole-model decode -> (logits [b, vocab] f32, kv, ckv, ring), or
     with ``greedy=True`` -> (logits, tokens [b, steps] int32, kv, ckv,
@@ -533,6 +558,18 @@ def decode_step_mega(
     interpret = resolve_interpret(interpret)
     assert b <= 8, "megakernel decode targets the small-batch regime"
     assert steps == 1 or greedy, "multi-step decode requires greedy"
+    if resident is None:
+        # launch-resident weights pay one ~35 MB VMEM staging DMA per
+        # launch, so they only win when several token steps amortize it;
+        # the VMEM cost (~23 MB net) rules out the larger cache batches.
+        # Resolved at trace time; NSA_MEGA_RESIDENT=0/1 forces it for A/B.
+        import os as _os
+
+        env = _os.environ.get("NSA_MEGA_RESIDENT", "")
+        if env in ("0", "1"):
+            resident = env == "1"
+        else:
+            resident = steps >= 4 and b <= 4
 
     scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 
@@ -555,6 +592,7 @@ def decode_step_mega(
         pl.BlockSpec((1, dim), c((0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((dim, vocab), c((0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
+        _hbm_spec(interpret) if resident else
         pl.BlockSpec((1, dim, P), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 3 * heads), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2, kvh, M, d), per_l(4), memory_space=pltpu.VMEM),
@@ -565,10 +603,13 @@ def decode_step_mega(
         _hbm_spec(interpret),                                   # w1k
         _hbm_spec(interpret),                                   # w1v
         _hbm_spec(interpret),                                   # w2c
+        _hbm_spec(interpret) if resident else
         pl.BlockSpec((1, heads * d, dim), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
+        _hbm_spec(interpret) if resident else
         pl.BlockSpec((1, dim, hid4), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hid4), per_l(2), memory_space=pltpu.VMEM),
+        _hbm_spec(interpret) if resident else
         pl.BlockSpec((1, hid4, dim), per_l(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, dim), per_l(2), memory_space=pltpu.VMEM),
         _hbm_spec(interpret),                                   # ckv
@@ -635,14 +676,20 @@ def decode_step_mega(
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([
+            pltpu.VMEM((L, dim, P), mdt),                   # wqkvg_all_s
+            pltpu.VMEM((L, heads * d, dim), mdt),           # wout_all_s
+            pltpu.VMEM((L, dim, hid4), mdt),                # fw1_all_s
+            pltpu.VMEM((L, hid4, dim), mdt),                # fw2_all_s
+            pltpu.SemaphoreType.DMA((4,)),                  # ressems
+        ] if resident else []),
     )
     outs = pl.pallas_call(
         functools.partial(
             _mega_kernel, scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, window=window,
             max_blocks=max_blocks, eps=eps, depth=depth, theta=theta,
-            greedy=greedy,
+            greedy=greedy, resident=resident,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),

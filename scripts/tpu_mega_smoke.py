@@ -60,14 +60,14 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def decode_scan_mega(cfg, gen, steps=1):
+def decode_scan_mega(cfg, gen, steps=1, resident=None):
     @lazy_jit
     def scan(mp, first, kv, ckv, ring, t0):
         def step(carry, i):
             tok, kv, ckv, ring = carry
             _, toks, kv, ckv, ring = transformer_decode_step_mega(
                 mp, cfg, tok, kv, ckv, ring, t0 + i * steps,
-                greedy=True, steps=steps)
+                greedy=True, steps=steps, resident=resident)
             return (toks[:, -1], kv, ckv, ring), toks
 
         (_, _, _, _), toks = jax.lax.scan(
@@ -214,12 +214,28 @@ def main():
     log(f"mega: {dt_m * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_m:.0f} tok/s)")
 
-    log("timing megakernel scan, 8 tokens per launch...")
-    scan_m8 = decode_scan_mega(cfg, gen, steps=8)
+    log("timing megakernel scan, 8 tokens per launch (blocked weights)...")
+    scan_m8b = decode_scan_mega(cfg, gen, steps=8, resident=False)
+    dt_m8b = _time_fn(scan_m8b, mp, first, kv, ckv, ring, t0,
+                      warmup=1, iters=5, vary=1)
+    log(f"mega-x8-blocked: {dt_m8b * 1e3 / gen:.4f} ms/step "
+        f"({b * gen / dt_m8b:.0f} tok/s)")
+
+    log("timing megakernel scan, 8 tokens per launch (resident weights)...")
+    scan_m8 = decode_scan_mega(cfg, gen, steps=8, resident=True)
     dt_m8 = _time_fn(scan_m8, mp, first, kv, ckv, ring, t0,
                      warmup=1, iters=5, vary=1)
     log(f"mega-x8: {dt_m8 * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_m8:.0f} tok/s)")
+
+    log("timing megakernel scan, 32 tokens per launch (resident weights)...")
+    gen32 = (gen // 32) * 32 or 32        # whole launches only
+    scan_m32 = decode_scan_mega(cfg, gen32, steps=32, resident=True)
+    dt32_raw = _time_fn(scan_m32, mp, first, kv, ckv, ring, t0,
+                        warmup=1, iters=5, vary=1)
+    dt_m32 = dt32_raw * gen / gen32       # normalized to gen tokens
+    log(f"mega-x32: {dt32_raw * 1e3 / gen32:.4f} ms/step "
+        f"({b * gen32 / dt32_raw:.0f} tok/s)")
 
     log("timing fused 2-kernel path scan...")
     scan_l = decode_scan_layers(cfg, gen)
@@ -244,10 +260,14 @@ def main():
                     warmup=1, iters=5, vary=1)
     log(f"full-attn: {dt_f * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_f:.0f} tok/s)")
+    best = min(dt_m8, dt_m32)
     log(f"SUMMARY bs={b} gen={gen} max_len={args.max_len}: "
-        f"mega {dt_m * 1e3 / gen:.4f} ms | mega-x8 {dt_m8 * 1e3 / gen:.4f} ms"
-        f" | fused {dt_l * 1e3 / gen:.4f} ms "
-        f"| full {dt_f * 1e3 / gen:.4f} ms | full/mega-x8 = {dt_f / dt_m8:.2f}x")
+        f"mega {dt_m * 1e3 / gen:.4f} ms | mega-x8-blocked "
+        f"{dt_m8b * 1e3 / gen:.4f} ms | mega-x8 {dt_m8 * 1e3 / gen:.4f} ms "
+        f"| mega-x32 {dt32_raw * 1e3 / gen32:.4f} ms "
+        f"| fused {dt_l * 1e3 / gen:.4f} ms "
+        f"| full {dt_f * 1e3 / gen:.4f} ms | full/mega-best = "
+        f"{dt_f / best:.2f}x")
 
 
 if __name__ == "__main__":

@@ -175,6 +175,33 @@ class TestMegakernelEquivalence:
                 np.asarray(a), np.asarray(m), rtol=2e-4, atol=2e-4,
                 err_msg=name)
 
+    def test_resident_weights_match_blocked(self):
+        """Launch-resident weight staging (one VMEM weight DMA per launch)
+        must be numerically identical to the blocked per-grid-step path,
+        for single- and multi-token launches."""
+        cfg = _cfg()
+        params = init_transformer(jax.random.PRNGKey(11), cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(12), (1, 9), 0, cfg.vocab_size)
+        logits, cache = transformer_prefill(params, cfg, prompt, 64)
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        mp = pack_mega_params(params, cfg)
+        t0 = cache.seq_len
+
+        outs = {}
+        for res in (False, True):
+            kv, ckv, ring = stack_decode_caches(cache)
+            lg1, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, first, kv, ckv, ring, t0, resident=res)
+            tok = jnp.argmax(lg1, -1).astype(jnp.int32)
+            _, toks, kv, ckv, ring = transformer_decode_step_mega(
+                mp, cfg, tok, kv, ckv, ring, t0 + 1, greedy=True,
+                steps=4, resident=res)
+            outs[res] = (np.asarray(lg1), np.asarray(toks),
+                         np.asarray(kv), np.asarray(ckv), np.asarray(ring))
+        for a, b_ in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(a, b_)
+
     def test_transformer_sample_mega_path(self):
         """transformer_sample under NSA_MEGA_DECODE=1 == default path."""
         import os
