@@ -108,8 +108,14 @@ def main():
     args = ap.parse_args()
     b, gen = args.batch, args.gen
     DT = jnp.float32 if args.f32 else jnp.bfloat16
+    on_cpu = jax.default_backend() == "cpu"
     if args.logit_tol is None:
-        args.logit_tol = 1e-3 if args.f32 else 0.5
+        # f32 on CPU is true f32 -> near-exact.  f32 on TPU is NOT: the
+        # MXU lowers f32 dots through bf16 multiply passes at default
+        # precision, and the two paths group/round differently (measured
+        # on chip r5: logit maxdiff 0.0076, cache err <= 0.0093, with
+        # 24/24 greedy agreement) -> 0.05 bounds that regime with margin.
+        args.logit_tol = (1e-3 if on_cpu else 0.05) if args.f32 else 0.5
 
     cfg = reference_model_config("mlp").replace(
         dtype="float32" if args.f32 else "bfloat16",
@@ -191,7 +197,7 @@ def main():
         + " ".join(f"{v:.3f}" for v in per_step))
     log(f"cache state: kv_err={kv_err:.5f} ckv_err={ckv_err:.5f} "
         f"ring_err={ring_err:.5f}")
-    cache_tol = 1e-4 if args.f32 else 0.05
+    cache_tol = (1e-4 if on_cpu else 0.05) if args.f32 else 0.05
     if kv_err > cache_tol or ckv_err > cache_tol or ring_err > cache_tol:
         log(f"FAIL: cache state mismatch (tol {cache_tol})")
         sys.exit(1)
