@@ -115,7 +115,10 @@ def main():
         # precision, and the two paths group/round differently (measured
         # on chip r5: logit maxdiff 0.0076, cache err <= 0.0093, with
         # 24/24 greedy agreement) -> 0.05 bounds that regime with margin.
-        args.logit_tol = (1e-3 if on_cpu else 0.05) if args.f32 else 0.5
+        # bf16 on chip measured 0.0156 max (r5, 23/24 greedy agreement);
+        # 0.1 gives ~6x margin while still catching real kernel bugs
+        # (the r4 greedy-rollout divergence was 2.32)
+        args.logit_tol = (1e-3 if on_cpu else 0.05) if args.f32 else 0.1
 
     cfg = reference_model_config("mlp").replace(
         dtype="float32" if args.f32 else "bfloat16",
