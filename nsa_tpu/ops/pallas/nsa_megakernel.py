@@ -137,19 +137,21 @@ def _mega_kernel(
         wqkvg_all_s, wout_all_s, fw1_all_s, fw2_all_s, ressems = res_tail
     if greedy:
         (logits_ref, tok_out, ckv_out, ring_out, kv_out, x_s, cs_s, q_s,
-         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, embw_s, ckv_all_s,
-         ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s, cand_s, gsems,
-         wsem, csem, esem, rsem) = rest_refs
+         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, newkv_s, embw_s,
+         ckv_all_s, ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s,
+         cand_s, gsems, wsem, csem, esem, rsem) = rest_refs
     else:
         (logits_ref, ckv_out, ring_out, kv_out, x_s, cs_s, q_s, rq_s,
-         cout_s, gates_s, info_s, fkv_s, wkv_s, embw_s, ckv_all_s,
-         ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s, cand_s, gsems,
-         wsem, csem, esem, rsem) = rest_refs
+         cout_s, gates_s, info_s, fkv_s, wkv_s, newkv_s, embw_s,
+         ckv_all_s, ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s,
+         cand_s, gsems, wsem, csem, esem, rsem) = rest_refs
     # scratch refs (in rest_refs): x_s [b, dim] residual (persists across
     # the grid), cs_s [2, din] f32 rotary lane vectors (per token step),
-    # q_s/rq_s/cout_s [b, 1, g, d], gates_s [b, 1, g, 3],
-    # info_s [b, INFO_WIDTH] int32, fkv_s [b, n_slots*Bs, 2d],
-    # wkv_s [b, 8, 2d] kv RMW window, embw_s [8, dim],
+    # per-head staging carries a leading kvh dim (r5 phase split: all
+    # heads' DMAs overlap): q_s/rq_s/cout_s [kvh, b, 1, g, d],
+    # gates_s [kvh, b, 1, g, 3], info_s [kvh, b, INFO_WIDTH] int32,
+    # fkv_s [kvh, b, n_slots*Bs, 2d], wkv_s [kvh, b, 8, 2d] kv RMW
+    # window, newkv_s [kvh, b, 2d] rotated-k||v staging, embw_s [8, dim],
     # ckv_all_s [L, b, kvh, Wc, 2d] launch-resident compressed cache,
     # ckv_sel_s [b, 1, Wc, 2d] per-head select staging,
     # ring_all_s [L, b, kvh, Bc, 2d] launch-resident ring,
@@ -167,7 +169,7 @@ def _mega_kernel(
     emit = (run_fill + 1 == Bc_).astype(jnp.int32)
     slot = jnp.minimum(num_cb, ckv_all_s.shape[3] - 1)
     b, dim = x_s.shape
-    g, d = q_s.shape[2], q_s.shape[3]
+    g, d = q_s.shape[3], q_s.shape[4]     # q_s is [kvh, b, 1, g, d]
     kvh = ring_all_s.shape[2]
     Bc = ring_all_s.shape[3]
     Wc = ckv_all_s.shape[3]
@@ -285,13 +287,32 @@ def _mega_kernel(
     memkv_all = memkv_ref[0].astype(jnp.float32)            # [2, kvh, M, d]
 
     y = None                                                # f32 [b, dim]
+    # The per-head work is split into PHASES across heads (r5): the old
+    # monolithic head loop serialized ~11 gather DMAs per head behind that
+    # head's select math, so every DMA's issue+completion latency was paid
+    # back-to-back 4x per layer.  Phasing issues ALL heads' cache-row RMWs
+    # and block gathers together, so their latencies overlap each other
+    # and the remaining heads' select math.  Math is untouched — only the
+    # schedule changed (equivalence pinned by tests/test_megakernel.py).
+    kvbase = pl.multiple_of(
+        jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
+    roff = t - kvbase
+    last_blk = t // Bs
+    rd_cps = {}
+
+    # ---- phase 1: staging + ring + emission + select (per head); the
+    # kv-row RMW window read is started first so it rides under the math
     for hi in range(kvh):
-        # ---- per-head operand staging (scratch refs stand in for the
-        # 2-kernel path's blocked operands) ---------------------------------
+        rd = pltpu.make_async_copy(
+            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_s.at[hi],
+            wsem.at[hi])
+        rd.start()
+        rd_cps[hi] = rd
+    for hi in range(kvh):
         for gi in range(g):
             hq = (hi * g + gi) * d
-            q_s[:, 0, gi, :] = qf[:, hq:hq + d].astype(q_s.dtype)
-            rq_s[:, 0, gi, :] = rqf[:, hq:hq + d].astype(rq_s.dtype)
+            q_s[hi, :, 0, gi, :] = qf[:, hq:hq + d].astype(q_s.dtype)
+            rq_s[hi, :, 0, gi, :] = rqf[:, hq:hq + d].astype(rq_s.dtype)
             # extract this head's 3 gate lanes (offset 3*(hi*g+gi), not
             # lane-aligned) via an iota-built 0/1 selection matmul — the
             # MXU is the always-legal lane shuffler
@@ -303,21 +324,12 @@ def _mega_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # [b, 3]
-            gates_s[:, 0, gi, :] = g3.astype(gates_s.dtype)
+            gates_s[hi, :, 0, gi, :] = g3.astype(gates_s.dtype)
         k_u = kf[:, hi * d:(hi + 1) * d]
         v_u = vf[:, hi * d:(hi + 1) * d]
         rk_u = rkf[:, hi * d:(hi + 1) * d]
         new_unrot = jnp.concatenate([k_u, v_u], axis=-1).astype(cdt)
-        new_rot = jnp.concatenate([rk_u, v_u], axis=-1).astype(cdt)
-
-        # ---- kv-row RMW: start the aligned-window read early so it overlaps
-        # the select math (same discipline as decode_attend_fused) ----------
-        kvbase = pl.multiple_of(
-            jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
-        roff = t - kvbase
-        rd = pltpu.make_async_copy(
-            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_s, wsem)
-        rd.start()
+        newkv_s[hi] = jnp.concatenate([rk_u, v_u], axis=-1).astype(cdt)
 
         # ---- ring shift (every step): pure VMEM scratch update -------------
         ring_blk = ring_all_s[l, :, hi]                     # [b, Bc, 2d]
@@ -383,60 +395,70 @@ def _mega_kernel(
         # excludes, so staging after the emission write is equivalent
         ckv_sel_s[:, 0] = ckv_all_s[l, :, hi]
         _select_math(
-            t, num_cb, q_s, ckv_sel_s,
+            t, num_cb, q_s.at[hi], ckv_sel_s,
             memkv_all[0, hi], memkv_all[1, hi],
-            cout_s, info_s,
+            cout_s.at[hi], info_s.at[hi],
             scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
         )
 
-        # ---- commit the new kv row, then gather selected + trailing blocks
-        rd.wait()
-        ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    # ---- phase 2: commit every head's new kv row; issue every head's
+    # selected + trailing block gathers (all DMAs in flight together)
+    wr_cps = {}
+    gather_cps = []
+    ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    for hi in range(kvh):
+        rd_cps[hi].wait()
         for r in range(b):
-            wkv_s[r] = jnp.where(ri8 == roff, new_rot[r:r + 1, :], wkv_s[r])
+            wkv_s[hi, r] = jnp.where(
+                ri8 == roff, newkv_s[hi, r:r + 1, :], wkv_s[hi, r])
         wr = pltpu.make_async_copy(
-            wkv_s, kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wsem)
+            wkv_s.at[hi], kv_out.at[l, :, hi, pl.ds(kvbase, 8), :],
+            wsem.at[hi])
         wr.start()
-        pending = []
+        wr_cps[hi] = wr
         for r in range(b):
-            irow = info_s[r:r + 1, :]                       # [1, 128] value
+            irow = info_s[hi, r:r + 1, :]                   # [1, 128] value
             for s in range(num_sel):
                 blk = _extract_scalar(irow, s)
                 cp = pltpu.make_async_copy(
                     kv_out.at[l, r, hi, pl.ds(blk * Bs, Bs), :],
-                    fkv_s.at[r, pl.ds(s * Bs, Bs), :],
-                    gsems.at[s],
+                    fkv_s.at[hi, r, pl.ds(s * Bs, Bs), :],
+                    gsems.at[hi, s],
                 )
                 cp.start()
-                pending.append(cp)
-        last_blk = t // Bs
+                gather_cps.append(cp)
         for j in range(n_slide - 1):
             blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
             cp = pltpu.make_async_copy(
                 kv_out.at[l, :, hi, pl.ds(blk * Bs, Bs), :],
-                fkv_s.at[:, pl.ds((num_sel + j) * Bs, Bs), :],
-                gsems.at[num_sel + j],
+                fkv_s.at[hi, :, pl.ds((num_sel + j) * Bs, Bs), :],
+                gsems.at[hi, num_sel + j],
             )
             cp.start()
-            pending.append(cp)
-        wr.wait()
-        # the diagonal block contains the row just committed: read it back
-        # so the current token attends to itself
-        diag = jnp.clip(last_blk, 0, max_blocks - 1)
+            gather_cps.append(cp)
+
+    # ---- phase 3: after each head's row write lands, read back its
+    # diagonal block (contains the just-committed row: the token must
+    # attend to itself)
+    diag = jnp.clip(last_blk, 0, max_blocks - 1)
+    for hi in range(kvh):
+        wr_cps[hi].wait()
         cp = pltpu.make_async_copy(
             kv_out.at[l, :, hi, pl.ds(diag * Bs, Bs), :],
-            fkv_s.at[:, pl.ds((n_slots - 1) * Bs, Bs), :],
-            gsems.at[n_slots - 1],
+            fkv_s.at[hi, :, pl.ds((n_slots - 1) * Bs, Bs), :],
+            gsems.at[hi, n_slots - 1],
         )
         cp.start()
-        pending.append(cp)
-        for cp in pending:
-            cp.wait()
+        gather_cps.append(cp)
+    for cp in gather_cps:
+        cp.wait()
 
-        # ---- fine + sliding + gate combine ---------------------------------
+    # ---- phase 4: fine + sliding + gate combine + output projection -------
+    for hi in range(kvh):
         combined = _attend_math(
-            t, rq_s, fkv_s[:, :, :], info_s, cout_s, gates_s,
+            t, rq_s.at[hi], fkv_s[hi], info_s.at[hi], cout_s.at[hi],
+            gates_s.at[hi],
             scale=scale, sel_block=sel_block, window=window,
             num_sel=num_sel, n_slide=n_slide,
         )                                                   # [b, g, d] f32
@@ -655,13 +677,16 @@ def decode_step_mega(
         scratch_shapes=[
             pltpu.VMEM((b, dim), mdt),                          # x_s
             pltpu.VMEM((2, heads * d), jnp.float32),            # cs_s
-            pltpu.VMEM((b, 1, g, d), mdt),                      # q_s
-            pltpu.VMEM((b, 1, g, d), mdt),                      # rq_s
-            pltpu.VMEM((b, 1, g, d), mdt),                      # cout_s
-            pltpu.VMEM((b, 1, g, 3), mdt),                      # gates_s
-            pltpu.VMEM((b, INFO_WIDTH), jnp.int32),             # info_s
-            pltpu.VMEM((b, n_slots * sel_block, 2 * d), cdt),   # fkv_s
-            pltpu.VMEM((b, 8, 2 * d), cdt),                     # wkv_s
+            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # q_s
+            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # rq_s
+            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # cout_s
+            pltpu.VMEM((kv_heads, b, 1, g, 3), mdt),            # gates_s
+            pltpu.VMEM((kv_heads, b, INFO_WIDTH), jnp.int32),   # info_s
+            pltpu.VMEM(
+                (kv_heads, b, n_slots * sel_block, 2 * d), cdt  # fkv_s
+            ),
+            pltpu.VMEM((kv_heads, b, 8, 2 * d), cdt),           # wkv_s
+            pltpu.VMEM((kv_heads, b, 2 * d), cdt),              # newkv_s
             pltpu.VMEM((8, dim), mdt),                          # embw_s
             pltpu.VMEM(ckv.shape, cdt),                         # ckv_all_s
             pltpu.VMEM((b, 1, Wc, 2 * d), cdt),                 # ckv_sel_s
@@ -671,8 +696,8 @@ def decode_step_mega(
             pltpu.VMEM((Bc * d, hid), cdt),                     # w1v_s
             pltpu.VMEM((hid, 2 * d), cdt),                      # w2c_s
             pltpu.VMEM((b, 2 * d), cdt),                        # cand_s
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((kv_heads, n_slots)),       # gsems
+            pltpu.SemaphoreType.DMA((kv_heads,)),               # wsem
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
