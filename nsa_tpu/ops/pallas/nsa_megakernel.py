@@ -130,28 +130,47 @@ def _mega_kernel(
     *rest_refs,     # logits [b, vocab] f32, (tok_out [steps, b] int32,)
                     # ckv_out ANY, ring_out ANY, kv_out ANY, scratch...
     scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
-    eps, depth, theta, greedy, resident,
+    eps, depth, theta, greedy, resident, kv_heads,
 ):
     if resident:
         rest_refs, res_tail = rest_refs[:-5], rest_refs[-5:]
         wqkvg_all_s, wout_all_s, fw1_all_s, fw2_all_s, ressems = res_tail
     if greedy:
-        (logits_ref, tok_out, ckv_out, ring_out, kv_out, x_s, cs_s, q_s,
-         rq_s, cout_s, gates_s, info_s, fkv_s, wkv_s, newkv_s, embw_s,
-         ckv_all_s, ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s,
-         cand_s, gsems, wsem, csem, esem, rsem) = rest_refs
+        logits_ref, tok_out = rest_refs[0], rest_refs[1]
+        rest = rest_refs[2:]
     else:
-        (logits_ref, ckv_out, ring_out, kv_out, x_s, cs_s, q_s, rq_s,
-         cout_s, gates_s, info_s, fkv_s, wkv_s, newkv_s, embw_s,
-         ckv_all_s, ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s,
-         cand_s, gsems, wsem, csem, esem, rsem) = rest_refs
+        logits_ref, tok_out = rest_refs[0], None
+        rest = rest_refs[1:]
+    (ckv_out, ring_out, kv_out, x_s, cs_s, embw_s,
+     ckv_all_s, ckv_sel_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s,
+     cand_s) = rest[:14]
+    rest = rest[14:]
+    # per-head staging + DMA-target scratches arrive as SEPARATE small
+    # refs (a stacked [kvh, ...] scratch would force chained .at[hi]-view
+    # + indexed accesses, which Mosaic rejects through bf16-padded tile
+    # dims: "Slice shape along dimension 4 must be aligned to tiling";
+    # carrying them as VALUES instead dies on lane-offset concats:
+    # "result/input offset mismatch on non-concat dimension" — both
+    # observed on chip, r5)
+    def take(n):
+        nonlocal rest
+        out, rest = rest[:n], rest[n:]
+        return out
+
+    q_list = take(kv_heads)
+    rq_list = take(kv_heads)
+    cout_list = take(kv_heads)
+    gates_list = take(kv_heads)
+    info_list = take(kv_heads)
+    fkv_list = take(kv_heads)
+    wkv_list = take(kv_heads)
+    gsems, wsem, csem, esem, rsem = rest
     # scratch refs (in rest_refs): x_s [b, dim] residual (persists across
     # the grid), cs_s [2, din] f32 rotary lane vectors (per token step),
-    # per-head staging carries a leading kvh dim (r5 phase split: all
-    # heads' DMAs overlap): q_s/rq_s/cout_s [kvh, b, 1, g, d],
-    # gates_s [kvh, b, 1, g, 3], info_s [kvh, b, INFO_WIDTH] int32,
-    # fkv_s [kvh, b, n_slots*Bs, 2d], wkv_s [kvh, b, 8, 2d] kv RMW
-    # window, newkv_s [kvh, b, 2d] rotated-k||v staging, embw_s [8, dim],
+    # per-head staging/select/DMA scratches as kvh SEPARATE refs each:
+    # q/rq/cout [b, 1, g, d], gates [b, 1, g, 3], info [b, INFO_WIDTH]
+    # int32, fkv [b, n_slots*Bs, 2d], wkv [b, 8, 2d] kv RMW windows;
+    # embw_s [8, dim],
     # ckv_all_s [L, b, kvh, Wc, 2d] launch-resident compressed cache,
     # ckv_sel_s [b, 1, Wc, 2d] per-head select staging,
     # ring_all_s [L, b, kvh, Bc, 2d] launch-resident ring,
@@ -169,7 +188,7 @@ def _mega_kernel(
     emit = (run_fill + 1 == Bc_).astype(jnp.int32)
     slot = jnp.minimum(num_cb, ckv_all_s.shape[3] - 1)
     b, dim = x_s.shape
-    g, d = q_s.shape[3], q_s.shape[4]     # q_s is [kvh, b, 1, g, d]
+    g, d = cout_list[0].shape[2], cout_list[0].shape[3]
     kvh = ring_all_s.shape[2]
     Bc = ring_all_s.shape[3]
     Wc = ckv_all_s.shape[3]
@@ -180,7 +199,7 @@ def _mega_kernel(
     Bs = sel_block
     n_slots = num_sel + n_slide
     mdt = x_s.dtype
-    cdt = fkv_s.dtype
+    cdt = fkv_list[0].dtype
 
     # ---- launch-resident cache load (first grid step only) ----------------
     @pl.when(jnp.logical_and(s_ix == 0, l == 0))
@@ -294,6 +313,9 @@ def _mega_kernel(
     # and block gathers together, so their latencies overlap each other
     # and the remaining heads' select math.  Math is untouched — only the
     # schedule changed (equivalence pinned by tests/test_megakernel.py).
+    # Per-head q/rq/gates/cout/info/newkv flow between phases as VALUES
+    # (python lists over the unrolled head loop) — only DMA targets are
+    # refs, and none of them needs a chained .at[] view.
     kvbase = pl.multiple_of(
         jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
     roff = t - kvbase
@@ -304,15 +326,19 @@ def _mega_kernel(
     # kv-row RMW window read is started first so it rides under the math
     for hi in range(kvh):
         rd = pltpu.make_async_copy(
-            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_s.at[hi],
+            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_list[hi],
             wsem.at[hi])
         rd.start()
         rd_cps[hi] = rd
+    newkv_vals = []
     for hi in range(kvh):
         for gi in range(g):
             hq = (hi * g + gi) * d
-            q_s[hi, :, 0, gi, :] = qf[:, hq:hq + d].astype(q_s.dtype)
-            rq_s[hi, :, 0, gi, :] = rqf[:, hq:hq + d].astype(rq_s.dtype)
+            # staging through scratch WRITES (store relayouts the
+            # lane-offset slices — value-level stack/concat of offset
+            # slices is Mosaic-illegal, observed on chip r5)
+            q_list[hi][:, 0, gi, :] = qf[:, hq:hq + d].astype(mdt)
+            rq_list[hi][:, 0, gi, :] = rqf[:, hq:hq + d].astype(mdt)
             # extract this head's 3 gate lanes (offset 3*(hi*g+gi), not
             # lane-aligned) via an iota-built 0/1 selection matmul — the
             # MXU is the always-legal lane shuffler
@@ -324,12 +350,12 @@ def _mega_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # [b, 3]
-            gates_s[hi, :, 0, gi, :] = g3.astype(gates_s.dtype)
+            gates_list[hi][:, 0, gi, :] = g3.astype(mdt)
         k_u = kf[:, hi * d:(hi + 1) * d]
         v_u = vf[:, hi * d:(hi + 1) * d]
         rk_u = rkf[:, hi * d:(hi + 1) * d]
         new_unrot = jnp.concatenate([k_u, v_u], axis=-1).astype(cdt)
-        newkv_s[hi] = jnp.concatenate([rk_u, v_u], axis=-1).astype(cdt)
+        newkv_vals.append(jnp.concatenate([rk_u, v_u], axis=-1).astype(cdt))
 
         # ---- ring shift (every step): pure VMEM scratch update -------------
         ring_blk = ring_all_s[l, :, hi]                     # [b, Bc, 2d]
@@ -395,9 +421,9 @@ def _mega_kernel(
         # excludes, so staging after the emission write is equivalent
         ckv_sel_s[:, 0] = ckv_all_s[l, :, hi]
         _select_math(
-            t, num_cb, q_s.at[hi], ckv_sel_s,
+            t, num_cb, q_list[hi], ckv_sel_s,
             memkv_all[0, hi], memkv_all[1, hi],
-            cout_s.at[hi], info_s.at[hi],
+            cout_list[hi], info_list[hi],
             scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
         )
@@ -409,21 +435,21 @@ def _mega_kernel(
     ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
     for hi in range(kvh):
         rd_cps[hi].wait()
+        wkv = wkv_list[hi]
         for r in range(b):
-            wkv_s[hi, r] = jnp.where(
-                ri8 == roff, newkv_s[hi, r:r + 1, :], wkv_s[hi, r])
+            wkv[r] = jnp.where(
+                ri8 == roff, newkv_vals[hi][r:r + 1, :], wkv[r])
         wr = pltpu.make_async_copy(
-            wkv_s.at[hi], kv_out.at[l, :, hi, pl.ds(kvbase, 8), :],
-            wsem.at[hi])
+            wkv, kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wsem.at[hi])
         wr.start()
         wr_cps[hi] = wr
         for r in range(b):
-            irow = info_s[hi, r:r + 1, :]                   # [1, 128] value
+            irow = info_list[hi][r:r + 1, :]                # [1, 128] value
             for s in range(num_sel):
                 blk = _extract_scalar(irow, s)
                 cp = pltpu.make_async_copy(
                     kv_out.at[l, r, hi, pl.ds(blk * Bs, Bs), :],
-                    fkv_s.at[hi, r, pl.ds(s * Bs, Bs), :],
+                    fkv_list[hi].at[r, pl.ds(s * Bs, Bs), :],
                     gsems.at[hi, s],
                 )
                 cp.start()
@@ -432,7 +458,7 @@ def _mega_kernel(
             blk = jnp.clip(last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
             cp = pltpu.make_async_copy(
                 kv_out.at[l, :, hi, pl.ds(blk * Bs, Bs), :],
-                fkv_s.at[hi, :, pl.ds((num_sel + j) * Bs, Bs), :],
+                fkv_list[hi].at[:, pl.ds((num_sel + j) * Bs, Bs), :],
                 gsems.at[hi, num_sel + j],
             )
             cp.start()
@@ -446,7 +472,7 @@ def _mega_kernel(
         wr_cps[hi].wait()
         cp = pltpu.make_async_copy(
             kv_out.at[l, :, hi, pl.ds(diag * Bs, Bs), :],
-            fkv_s.at[hi, :, pl.ds((n_slots - 1) * Bs, Bs), :],
+            fkv_list[hi].at[:, pl.ds((n_slots - 1) * Bs, Bs), :],
             gsems.at[hi, n_slots - 1],
         )
         cp.start()
@@ -457,8 +483,8 @@ def _mega_kernel(
     # ---- phase 4: fine + sliding + gate combine + output projection -------
     for hi in range(kvh):
         combined = _attend_math(
-            t, rq_s.at[hi], fkv_s[hi], info_s.at[hi], cout_s.at[hi],
-            gates_s.at[hi],
+            t, rq_list[hi], fkv_list[hi][...], info_list[hi],
+            cout_list[hi], gates_list[hi],
             scale=scale, sel_block=sel_block, window=window,
             num_sel=num_sel, n_slide=n_slide,
         )                                                   # [b, g, d] f32
@@ -677,16 +703,6 @@ def decode_step_mega(
         scratch_shapes=[
             pltpu.VMEM((b, dim), mdt),                          # x_s
             pltpu.VMEM((2, heads * d), jnp.float32),            # cs_s
-            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # q_s
-            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # rq_s
-            pltpu.VMEM((kv_heads, b, 1, g, d), mdt),            # cout_s
-            pltpu.VMEM((kv_heads, b, 1, g, 3), mdt),            # gates_s
-            pltpu.VMEM((kv_heads, b, INFO_WIDTH), jnp.int32),   # info_s
-            pltpu.VMEM(
-                (kv_heads, b, n_slots * sel_block, 2 * d), cdt  # fkv_s
-            ),
-            pltpu.VMEM((kv_heads, b, 8, 2 * d), cdt),           # wkv_s
-            pltpu.VMEM((kv_heads, b, 2 * d), cdt),              # newkv_s
             pltpu.VMEM((8, dim), mdt),                          # embw_s
             pltpu.VMEM(ckv.shape, cdt),                         # ckv_all_s
             pltpu.VMEM((b, 1, Wc, 2 * d), cdt),                 # ckv_sel_s
@@ -696,6 +712,28 @@ def decode_step_mega(
             pltpu.VMEM((Bc * d, hid), cdt),                     # w1v_s
             pltpu.VMEM((hid, 2 * d), cdt),                      # w2c_s
             pltpu.VMEM((b, 2 * d), cdt),                        # cand_s
+        ] + [
+            pltpu.VMEM((b, 1, g, d), mdt)                       # q per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, 1, g, d), mdt)                       # rq per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, 1, g, d), mdt)                       # cout per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, 1, g, 3), mdt)                       # gates per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, INFO_WIDTH), jnp.int32)              # info per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, n_slots * sel_block, 2 * d), cdt)    # fkv per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.VMEM((b, 8, 2 * d), cdt)                      # wkv per head
+            for _ in range(kv_heads)
+        ] + [
             pltpu.SemaphoreType.DMA((kv_heads, n_slots)),       # gsems
             pltpu.SemaphoreType.DMA((kv_heads,)),               # wsem
             pltpu.SemaphoreType.DMA((3,)),
@@ -714,7 +752,7 @@ def decode_step_mega(
             _mega_kernel, scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, window=window,
             max_blocks=max_blocks, eps=eps, depth=depth, theta=theta,
-            greedy=greedy, resident=resident,
+            greedy=greedy, resident=resident, kv_heads=kv_heads,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
