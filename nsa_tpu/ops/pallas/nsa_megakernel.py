@@ -337,20 +337,33 @@ def _mega_kernel(
             # staging through scratch WRITES (store relayouts the
             # lane-offset slices — value-level stack/concat of offset
             # slices is Mosaic-illegal, observed on chip r5)
-            q_list[hi][:, 0, gi, :] = qf[:, hq:hq + d].astype(mdt)
-            rq_list[hi][:, 0, gi, :] = rqf[:, hq:hq + d].astype(mdt)
-            # extract this head's 3 gate lanes (offset 3*(hi*g+gi), not
-            # lane-aligned) via an iota-built 0/1 selection matmul — the
-            # MXU is the always-legal lane shuffler
             rows = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 1)
             esel = (rows == 3 * (hi * g + gi) + cols).astype(jnp.float32)
+            # extract this head's 3 gate lanes (offset 3*(hi*g+gi), not
+            # lane-aligned) via an iota-built 0/1 selection matmul — the
+            # MXU is the always-legal lane shuffler
             g3 = jax.lax.dot_general(
                 gates.astype(jnp.float32), esel,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # [b, 3]
-            gates_list[hi][:, 0, gi, :] = g3.astype(mdt)
+            if b == 1:
+                q_list[hi][:, 0, gi, :] = qf[:, hq:hq + d].astype(mdt)
+                rq_list[hi][:, 0, gi, :] = rqf[:, hq:hq + d].astype(mdt)
+                gates_list[hi][:, 0, gi, :] = g3.astype(mdt)
+            else:
+                # b > 1: a whole-batch store needs a [b,d]->[b,1,1,d]
+                # relayout (sublane -> leading dim) Mosaic can't infer
+                # ("unsupported shape cast", r5 on-chip at bs 8);
+                # per-row [1,d] stores sidestep it
+                for r in range(b):
+                    q_list[hi][r:r + 1, 0, gi, :] = (
+                        qf[r:r + 1, hq:hq + d].astype(mdt))
+                    rq_list[hi][r:r + 1, 0, gi, :] = (
+                        rqf[r:r + 1, hq:hq + d].astype(mdt))
+                    gates_list[hi][r:r + 1, 0, gi, :] = (
+                        g3[r:r + 1].astype(mdt))
         k_u = kf[:, hi * d:(hi + 1) * d]
         v_u = vf[:, hi * d:(hi + 1) * d]
         rk_u = rkf[:, hi * d:(hi + 1) * d]
