@@ -162,18 +162,22 @@ def fuse_decode_params(params: dict, cfg: ModelConfig) -> dict:
 
 def use_mega_decode(cfg: ModelConfig, batch: int) -> bool:
     """Whether the whole-model decode megakernel applies (one Pallas
-    launch per token step, ops/pallas/nsa_megakernel.py).
+    launch per token chunk, ops/pallas/nsa_megakernel.py).
 
-    Scope: scalar-position decode at small batch (the dispatch-bound
-    regime the kernel exists for), Pallas impl, gelu FF, the GroupedMLP
-    compressor and shared-KV selection (same constraints as the 2-kernel
-    fused path).  Opt-in via ``NSA_MEGA_DECODE=1`` until the on-chip A/B
-    lands; ``NSA_MEGA_MAX_B`` moves the batch cutover (default 8,
-    matching the fused-path policy boundary measured in r4)."""
+    Scope: scalar-position decode at small batch, Pallas impl, gelu FF,
+    the GroupedMLP compressor and shared-KV selection (same constraints
+    as the 2-kernel fused path).  DEFAULT ON for b <= 8 since the r5
+    on-chip A/B (max_len 4096, gen 200, trained config): bs 1 mega
+    0.126 ms/step vs fused 0.18 (+28%); bs 8 mega 0.157 ms/step =
+    50,934 tok/s vs fused 19,494 vs full-attention 14,743 — the serial
+    op-issue floor is batch-invariant, so batching rides nearly free.
+    Opt out with ``NSA_MEGA_DECODE=0``; ``NSA_MEGA_MAX_B`` moves the
+    batch cutover (default 8; ragged serving keeps the fused path —
+    the megakernel is scalar-position only)."""
     import os
 
     nsa = cfg.nsa
-    if os.environ.get("NSA_MEGA_DECODE", "") != "1":
+    if os.environ.get("NSA_MEGA_DECODE", "") == "0":
         return False
     max_b = int(os.environ.get("NSA_MEGA_MAX_B", "8"))
     return (

@@ -557,7 +557,6 @@ def _mega_kernel(
             # the next token step's embedding reads.
             vocab = lgq.shape[1]
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
-            picks = []
             for r in range(b):
                 row = lgq[r:r + 1, :]
                 mx = jnp.max(row, axis=-1, keepdims=True)
@@ -566,8 +565,10 @@ def _mega_kernel(
                     axis=-1, keepdims=True,
                 )                                           # [1, 1]
                 tok_s[r:r + 1, :] = pick
-                picks.append(pick)
-            tok_out[pl.ds(s_ix, 1), :] = jnp.concatenate(picks, axis=1)
+                # per-row [1,1] store: concatenating the b picks hits
+                # 'offset mismatch on non-concat dimension' (each pick
+                # carries its own sublane offset, r5 on-chip at bs 8)
+                tok_out[pl.ds(s_ix, 1), r:r + 1] = pick
 
 
 @functools.partial(
@@ -630,7 +631,11 @@ def decode_step_mega(
         if env in ("0", "1"):
             resident = env == "1"
         else:
-            resident = steps >= 4 and b <= 4
+            resident = steps >= 4
+    # hard clamp regardless of env: resident scratch (+~35 MB) on top of
+    # the b-scaled launch-resident caches exceeds the 64 MiB scoped-VMEM
+    # limit at b 8 (measured 65.46 MB, r5) — blocked mode there
+    resident = resident and b <= 4
 
     scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 

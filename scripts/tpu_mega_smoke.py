@@ -230,16 +230,23 @@ def main():
     log(f"mega-x8-blocked: {dt_m8b * 1e3 / gen:.4f} ms/step "
         f"({b * gen / dt_m8b:.0f} tok/s)")
 
-    log("timing megakernel scan, 8 tokens per launch (resident weights)...")
-    scan_m8 = decode_scan_mega(cfg, gen, steps=8, resident=True)
-    dt_m8 = _time_fn(scan_m8, mp, first, kv, ckv, ring, t0,
-                     warmup=1, iters=5, vary=1)
-    log(f"mega-x8: {dt_m8 * 1e3 / gen:.4f} ms/step "
-        f"({b * gen / dt_m8:.0f} tok/s)")
+    if b <= 4:
+        log("timing megakernel scan, 8 tokens/launch (resident weights)...")
+        scan_m8 = decode_scan_mega(cfg, gen, steps=8, resident=True)
+        dt_m8 = _time_fn(scan_m8, mp, first, kv, ckv, ring, t0,
+                         warmup=1, iters=5, vary=1)
+        log(f"mega-x8: {dt_m8 * 1e3 / gen:.4f} ms/step "
+            f"({b * gen / dt_m8:.0f} tok/s)")
+    else:
+        # resident + b-scaled launch caches exceed the 64 MiB scoped-VMEM
+        # limit (65.46 MB at bs 8, r5); decode_step_mega clamps it off
+        log("skipping resident x8 (b > 4: scoped-VMEM clamp)")
+        dt_m8 = dt_m8b
 
-    log("timing megakernel scan, 32 tokens per launch (resident weights)...")
+    log("timing megakernel scan, 32 tokens per launch...")
     gen32 = (gen // 32) * 32 or 32        # whole launches only
-    scan_m32 = decode_scan_mega(cfg, gen32, steps=32, resident=True)
+    scan_m32 = decode_scan_mega(cfg, gen32, steps=32,
+                                resident=True if b <= 4 else False)
     dt32_raw = _time_fn(scan_m32, mp, first, kv, ckv, ring, t0,
                         warmup=1, iters=5, vary=1)
     dt_m32 = dt32_raw * gen / gen32       # normalized to gen tokens

@@ -203,7 +203,7 @@ class TestMegakernelEquivalence:
             np.testing.assert_array_equal(a, b_)
 
     def test_transformer_sample_mega_path(self):
-        """transformer_sample under NSA_MEGA_DECODE=1 == default path."""
+        """transformer_sample mega path (default-on) == layer path."""
         import os
 
         from nsa_tpu.models.transformer import transformer_sample
@@ -212,16 +212,14 @@ class TestMegakernelEquivalence:
         params = init_transformer(jax.random.PRNGKey(5), cfg)
         prompt = jax.random.randint(
             jax.random.PRNGKey(6), (1, 11), 0, cfg.vocab_size)
-        ref = np.asarray(transformer_sample(params, cfg, prompt, 8))
-        os.environ["NSA_MEGA_DECODE"] = "1"
+        # mega is default-on since r5; the layer-path reference needs the
+        # explicit opt-out
+        os.environ["NSA_MEGA_DECODE"] = "0"
         try:
-            mega = np.asarray(transformer_sample(params, cfg, prompt, 8))
-            # tempered sampling shares the rng schedule, so it matches too
-            ref_t = np.asarray(transformer_sample(
-                params, cfg, prompt, 8, temperature=0.0))
-            del ref_t
+            ref = np.asarray(transformer_sample(params, cfg, prompt, 8))
         finally:
             os.environ.pop("NSA_MEGA_DECODE", None)
+        mega = np.asarray(transformer_sample(params, cfg, prompt, 8))
         np.testing.assert_array_equal(ref, mega)
 
     def test_scan_rollout_matches_python_loop(self):
