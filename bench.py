@@ -69,7 +69,10 @@ def _load_trained(name: str, cfg):
 
 def main():
     quick = "--quick" in sys.argv
-    batch, prompt, gen = (8, 500, 20) if quick else (BATCH, PROMPT, GEN)
+    # quick gen is 100, not 20: each timed call carries a ~23 ms
+    # dispatch+readback constant through the tunnel (RESULTS.md r4), so
+    # gen-20 numbers are constant-dominated and do not rank decode paths
+    batch, prompt, gen = (8, 500, 100) if quick else (BATCH, PROMPT, GEN)
 
     results = {}
     weights = {}
@@ -85,7 +88,11 @@ def main():
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), params
             )
-        tps = measure_decode(params, cfg, batch, prompt, gen, iters=3)
+        # seq_len pins the cache at 4096 in BOTH modes: the quick cell is
+        # the reference's (bs 8, prompt 500, seq 4096) row, not an
+        # easier auto-shrunk 640-row cache
+        tps = measure_decode(params, cfg, batch, prompt, gen, iters=3,
+                             seq_len=4096)
         results[name] = tps
         print(f"# {name}: {tps:.1f} decode tok/s", file=sys.stderr)
         del params

@@ -91,14 +91,19 @@ def measure_prefill(params, cfg: ModelConfig, batch_size: int, prompt_len: int,
 
 def measure_decode(
     params, cfg: ModelConfig, batch_size: int, prompt_len: int, gen_len: int = 100,
-    iters: int = 3,
+    iters: int = 3, seq_len: Optional[int] = None,
 ) -> float:
     """Decode throughput in tokens/s: prefill once then ``gen_len`` greedy
     cached steps inside one jitted scan (total tokens = bs * gen_len,
-    matching the reference's metric, evaluation/efficiency.py:269-320)."""
+    matching the reference's metric, evaluation/efficiency.py:269-320).
+
+    ``seq_len`` pins the static cache length (the reference times every
+    cell against its seq-4096 cache; full attention's cost scales with
+    max_len, so an auto-shrunk cache is a different — easier — cell)."""
     stride = cfg.nsa.compress_block_sliding_stride if cfg.use_sparse_attn else 1
     blk = max(stride, cfg.nsa.selection_block_size if cfg.use_sparse_attn else 1, 128)
-    max_len = round_up_mult(prompt_len + gen_len + 1, blk)
+    max_len = round_up_mult(
+        max(prompt_len + gen_len + 1, seq_len or 0), blk)
     params = fuse_decode_params(params, cfg)
     ids = jnp.zeros((batch_size, prompt_len), jnp.int32)
 
@@ -269,7 +274,8 @@ def run_efficiency_eval(
     step: int = 0,
 ) -> dict:
     prefill_tps = measure_prefill(params, cfg, batch_size, prompt_len)
-    decode_tps = measure_decode(params, cfg, batch_size, prompt_len, gen_len)
+    decode_tps = measure_decode(
+        params, cfg, batch_size, prompt_len, gen_len, seq_len=seq_len)
     row = {
         "model_type": model_type,
         "step": step,
