@@ -20,3 +20,20 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh and never contend for the single TPU chip
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Reset JAX's in-process compilation caches between test modules.
+
+    The full suite accumulates hundreds of compiled CPU executables; at
+    ~76% (mid test_serve.py) the XLA:CPU compiler segfaults inside
+    backend_compile_and_load — reproducibly at the same test in two full
+    runs, while the same module passes standalone.  Clearing caches per
+    module keeps the compiler state small at the cost of some
+    recompilation."""
+    jax.clear_caches()
+    yield
