@@ -207,6 +207,34 @@ def run_efficiency_sweep(
             last = logits[jnp.arange(ids.shape[0]), tl - 1]
             return jnp.argmax(last, -1).astype(jnp.int32), cache
 
+        # the decode policy rows must measure what the framework actually
+        # runs: the whole-model megakernel for b <= 8 (default since r5),
+        # the per-layer step above
+        mega = cfg.use_sparse_attn and use_mega_decode(cfg, bs)
+        if mega:
+            import os as _os
+
+            mega_steps = int(_os.environ.get("NSA_MEGA_STEPS", "8"))
+            while mega_steps > 1 and gen_len % mega_steps:
+                mega_steps //= 2
+            mp = pack_mega_params(params, cfg)
+
+            @lazy_jit
+            def decode_scan_mega(mp, first, kv, ckv, ring, t0):
+                def step_fn(carry, i):
+                    tok, kv, ckv, ring = carry
+                    _, toks, kv, ckv, ring = transformer_decode_step_mega(
+                        mp, cfg, tok, kv, ckv, ring, t0 + i * mega_steps,
+                        greedy=True, steps=mega_steps,
+                    )
+                    return (toks[:, -1], kv, ckv, ring), toks
+
+                (_, _, _, _), toks = jax.lax.scan(
+                    step_fn, (first, kv, ckv, ring),
+                    jnp.arange(gen_len // mega_steps)
+                )
+                return toks
+
         @lazy_jit
         def decode_scan(p, first, cache):
             def step_fn(carry, _):
@@ -236,8 +264,14 @@ def run_efficiency_sweep(
             first, cache = jax.block_until_ready(
                 prefill_first(params, ids, tl)
             )
-            dt_dec = _time_fn(decode_scan, params, first, cache,
-                              warmup=1, iters=3, vary=1)
+            if mega:
+                kv, ckv, ring = stack_decode_caches(cache)
+                dt_dec = _time_fn(
+                    decode_scan_mega, mp, first, kv, ckv, ring,
+                    cache.seq_len, warmup=1, iters=3, vary=1)
+            else:
+                dt_dec = _time_fn(decode_scan, params, first, cache,
+                                  warmup=1, iters=3, vary=1)
             row = {
                 "model_type": model_type,
                 "step": step,
