@@ -166,20 +166,24 @@ def use_mega_decode(cfg: ModelConfig, batch: int) -> bool:
 
     Scope: scalar-position decode at small batch, Pallas impl, gelu FF,
     the GroupedMLP compressor and shared-KV selection (same constraints
-    as the 2-kernel fused path).  DEFAULT ON for b <= 8 since the r5
+    as the 2-kernel fused path).  DEFAULT ON for b <= 16 since the r5
     on-chip A/B (max_len 4096, gen 200, trained config): bs 1 mega
-    0.126 ms/step vs fused 0.18 (+28%); bs 8 mega 0.157 ms/step =
-    50,934 tok/s vs fused 19,494 vs full-attention 14,743 — the serial
-    op-issue floor is batch-invariant, so batching rides nearly free.
-    Opt out with ``NSA_MEGA_DECODE=0``; ``NSA_MEGA_MAX_B`` moves the
-    batch cutover (default 8; ragged serving keeps the fused path —
-    the megakernel is scalar-position only)."""
+    0.126 ms/step vs fused 0.18 (+28%); bs 8 mega 50,934 tok/s vs fused
+    19,494 vs full-attention 14,743 (3.45x); bs 16 mega-x32 66,946
+    tok/s vs fused 31,692 vs full 19,611 (3.41x) — the serial op-issue
+    floor is batch-invariant, so batching rides nearly free.  bs 16
+    needs the 96 MiB scoped-VMEM limit (ops/common); bs 32's
+    launch-resident ckv alone (~102 MB) is out of VMEM reach, and the
+    r2 batched-gather path wins there anyway.  Opt out with
+    ``NSA_MEGA_DECODE=0``; ``NSA_MEGA_MAX_B`` moves the batch cutover
+    (ragged serving keeps the fused path — the megakernel is
+    scalar-position only)."""
     import os
 
     nsa = cfg.nsa
     if os.environ.get("NSA_MEGA_DECODE", "") == "0":
         return False
-    max_b = int(os.environ.get("NSA_MEGA_MAX_B", "8"))
+    max_b = int(os.environ.get("NSA_MEGA_MAX_B", "16"))
     return (
         cfg.use_sparse_attn
         and cfg.attn_impl == "pallas"
@@ -188,7 +192,7 @@ def use_mega_decode(cfg: ModelConfig, batch: int) -> bool:
         and nsa.num_compress_per_fine > 1
         and nsa.num_selected_blocks > 0
         and nsa.compressor == "mlp"
-        and batch <= min(max_b, 8)
+        and batch <= min(max_b, 16)
     )
 
 

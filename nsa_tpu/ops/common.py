@@ -22,7 +22,14 @@ def tpu_compiler_options():
     """
     if jax.default_backend() == "cpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    # 96 MiB (r5, was 64): the bs-16 decode megakernel's launch-resident
+    # caches + per-head scratch measure ~75 MB.  This is a LIMIT the
+    # compiler checks allocations against, not a reservation — programs
+    # that fit 64 MiB are unaffected.  NSA_SCOPED_VMEM_KIB overrides.
+    import os
+
+    return {"xla_tpu_scoped_vmem_limit_kib":
+            os.environ.get("NSA_SCOPED_VMEM_KIB", "98304")}
 
 
 def lazy_jit(fn=None, /, **jit_kwargs):

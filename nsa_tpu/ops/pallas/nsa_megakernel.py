@@ -618,7 +618,10 @@ def decode_step_mega(
     n_slots = num_sel + n_slide
     max_blocks = max_len // sel_block
     interpret = resolve_interpret(interpret)
-    assert b <= 8, "megakernel decode targets the small-batch regime"
+    # b 16 needs the raised scoped-VMEM limit (~75 MB launch caches +
+    # scratch; ops/common.tpu_compiler_options); b 32's launch-resident
+    # ckv alone is ~102 MB — out of reach on v5e
+    assert b <= 16, "megakernel decode targets the small-batch regime"
     assert steps == 1 or greedy, "multi-step decode requires greedy"
     if resident is None:
         # launch-resident weights pay one ~35 MB VMEM staging DMA per
