@@ -111,7 +111,12 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk, memv, cout_ref,
     sources them by statically indexing one full-extent load of its
     stacked [1, 2, kvh, M, d] operand — ref views sliced through the
     tiled (M, d) dims are Mosaic-illegal ("slice shape along dimension
-    3/4 must be aligned to tiling", r4c smoke)."""
+    3/4 must be aligned to tiling", r4c smoke).  [Bt, M, d] (per-row mem
+    slots) is also accepted: the head-batched megakernel folds the kv
+    heads into the row dim, so each row attends its own head's mem-KV.
+
+    ``q_ref``/``ckv_ref`` may be VALUES too (only sliced, never written);
+    ``cout_ref``/``info_ref`` must be real refs."""
     Bt, _, g, d = q_ref.shape
     Wc = ckv_ref.shape[2]
     npf = sel_block // stride
@@ -132,10 +137,16 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk, memv, cout_ref,
     cb_ids = jax.lax.broadcasted_iota(jnp.int32, (Bt, g, Wc), 2)
     sim_c = jnp.where(cb_ids < ncb_r2, sim_c, NEG)
 
-    sim_m = jax.lax.dot_general(
-        q, memk, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                              # [Bt, g, M]
+    if memk.ndim == 3:                                     # per-row mem slots
+        sim_m = jax.lax.dot_general(
+            q, memk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                          # [Bt, g, M]
+    else:
+        sim_m = jax.lax.dot_general(
+            q, memk, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                          # [Bt, g, M]
 
     m = jnp.maximum(
         jnp.max(sim_c, axis=-1, keepdims=True),
@@ -153,10 +164,16 @@ def _select_math(t, num_cb, q_ref, ckv_ref, memk, memv, cout_ref,
             attn_c, cv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-    c_out = c_out + jax.lax.dot_general(
-        attn_m, memv, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if memv.ndim == 3:
+        c_out = c_out + jax.lax.dot_general(
+            attn_m, memv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        c_out = c_out + jax.lax.dot_general(
+            attn_m, memv, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     cout_ref[:, 0] = c_out.astype(cout_ref.dtype)
 
     imp = jnp.mean(sim_c, axis=1)                          # [Bt, Wc]

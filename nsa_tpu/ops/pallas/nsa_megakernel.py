@@ -571,12 +571,416 @@ def _mega_kernel(
                 tok_out[pl.ds(s_ix, 1), r:r + 1] = pick
 
 
+def _mega_kernel_hb(
+    # scalar prefetch + operands: same order as _mega_kernel
+    scal_ref, tok_ref,
+    pswap_ref, emb_hbm, onorm_ref, tolog_ref,
+    anorm_ref, wqkvg_ref, gateb_ref, memkv_ref, poskv_ref,
+    b1k_ref, b1v_ref, b2c_ref, w1k_hbm, w1v_hbm, w2c_hbm,
+    wout_ref, fnorm_ref, fw1_ref, fb1_ref, fw2_ref, fb2_ref,
+    ckv_hbm, ring_hbm, kv_hbm,
+    *rest_refs,
+    scale, stride, sel_block, num_sel, n_slide, window, max_blocks,
+    eps, depth, theta, greedy, resident, kv_heads,
+):
+    """HEAD-BATCHED megakernel body (r5): folds the ``kvh`` KV heads into
+    the row dimension (``B = b*kvh``, b-major: row = r*kvh + hi) so the
+    select and attend pipelines — the bulk of the per-layer serial op
+    chain the r5 exclusion experiment identified as the bs-1 floor — run
+    ONCE per layer over B rows instead of kvh times over b rows.  Every
+    tiny vector op in ``_select_math``/``_attend_math`` vectorizes over
+    rows at no issue cost (the same batch-invariance that made bs-8
+    nearly free), so head-batching buys ~kvh× fewer issued ops in those
+    phases.  The ring shift, emission write, and gate combine batch the
+    same way; per-(row, block) DMA gathers and the per-head kv-row RMW
+    keep their (already overlapped) structure; the per-head output
+    projection matmuls collapse into lane-staging stores + ONE
+    [b, din] @ [din, dim] matmul.
+
+    Head-crossing data still moves through staging stores (a [b, h*X]
+    lane layout cannot be reshaped into rows in-kernel — reshapes across
+    the lane dim are Mosaic-illegal), so staging costs match the
+    per-head formulation; the savings are all in the math phases.
+
+    Semantics are identical to _mega_kernel (equivalence pinned by
+    tests/test_megakernel.py with NSA_MEGA_HB on/off)."""
+    if resident:
+        rest_refs, res_tail = rest_refs[:-5], rest_refs[-5:]
+        wqkvg_all_s, wout_all_s, fw1_all_s, fw2_all_s, ressems = res_tail
+    if greedy:
+        logits_ref, tok_out = rest_refs[0], rest_refs[1]
+        rest = rest_refs[2:]
+    else:
+        logits_ref, tok_out = rest_refs[0], None
+        rest = rest_refs[1:]
+    (ckv_out, ring_out, kv_out, x_s, cs_s, embw_s,
+     ckv_all_s, ring_all_s, tok_s, w1k_s, w1v_s, w2c_s, cand_s,
+     newkv_s, q_s, rq_s, cout_s, gates_s, info_s, fkv_s, co_s) = rest[:21]
+    rest = rest[21:]
+    wkv_list = list(rest[:kv_heads])
+    gsems, wsem, csem, esem, rsem = rest[kv_heads:kv_heads + 5]
+
+    s_ix = pl.program_id(0)
+    l = pl.program_id(1)
+    t = scal_ref[0] + s_ix
+    Bc = ring_all_s.shape[3]
+    num_cb = t // stride
+    run_fill = (Bc - stride) + t - num_cb * stride
+    emit = (run_fill + 1 == Bc).astype(jnp.int32)
+    slot = jnp.minimum(num_cb, ckv_all_s.shape[3] - 1)
+    b, dim = x_s.shape
+    kvh = ring_all_s.shape[2]
+    B, _, g, d = q_s.shape
+    Wc = ckv_all_s.shape[3]
+    din = wout_ref.shape[1]
+    heads_ = din // d
+    dkv = kvh * d
+    Bs = sel_block
+    n_slots = num_sel + n_slide
+    M = memkv_ref.shape[3]
+    mdt = x_s.dtype
+    cdt = fkv_s.dtype
+
+    # ---- launch-resident cache load (first grid step only) ----------------
+    @pl.when(jnp.logical_and(s_ix == 0, l == 0))
+    def _load_caches():
+        c1 = pltpu.make_async_copy(ckv_hbm, ckv_all_s, csem.at[0])
+        c2 = pltpu.make_async_copy(ring_hbm, ring_all_s, rsem)
+        c1.start()
+        c2.start()
+        if resident:
+            cps = [
+                pltpu.make_async_copy(wqkvg_ref, wqkvg_all_s, ressems.at[0]),
+                pltpu.make_async_copy(wout_ref, wout_all_s, ressems.at[1]),
+                pltpu.make_async_copy(fw1_ref, fw1_all_s, ressems.at[2]),
+                pltpu.make_async_copy(fw2_ref, fw2_all_s, ressems.at[3]),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+        c1.wait()
+        c2.wait()
+
+    # ---- token embedding + rotary lane vectors (first layer step) ---------
+    @pl.when(l == 0)
+    def _embed():
+        for r in range(b):
+            fed = jnp.min(tok_s[r:r + 1, :])
+            tok = jnp.where(s_ix == 0, tok_ref[r], fed)
+            base = pl.multiple_of((tok // 8) * 8, 8)
+            cp = pltpu.make_async_copy(
+                emb_hbm.at[pl.ds(base, 8), :], embw_s, esem)
+            cp.start()
+            cp.wait()
+            ri = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
+            row = jnp.sum(
+                jnp.where(ri == tok - base,
+                          embw_s[...].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True,
+            )
+            x_s[r:r + 1, :] = row.astype(mdt)
+
+    @pl.when(l == 0)
+    def _rope():
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, din), 1)
+        pair = ((cols % d) // 2).astype(jnp.float32)
+        invf = jnp.exp(pair * jnp.float32(-2.0 * math.log(theta) / d))
+        ang = t.astype(jnp.float32) * invf
+        sgn = jnp.where(cols % 2 == 0, -1.0, 1.0)
+        cs_s[0:1, :] = jnp.cos(ang)
+        cs_s[1:2, :] = jnp.sin(ang) * sgn
+
+    # ---- pre-attention norm + fused qkv|gate projection --------------------
+    x = x_s[...]
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)
+              * anorm_ref[0, 0].astype(jnp.float32)).astype(mdt)
+    proj = jax.lax.dot_general(
+        normed, wqkvg_all_s[l] if resident else wqkvg_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(mdt)
+    qf = proj[:, :din]
+    kf = proj[:, din:din + dkv]
+    vf = proj[:, din + dkv:din + 2 * dkv]
+    gl = proj[:, din + 2 * dkv:]
+    gates = jax.nn.sigmoid(
+        gl.astype(jnp.float32) + gateb_ref[0, 0].astype(jnp.float32)
+    ).astype(mdt)
+
+    cvec = cs_s[0:1, :]
+    svec = cs_s[1:2, :]
+    qf32 = qf.astype(jnp.float32)
+    qsw = jax.lax.dot_general(
+        qf32, pswap_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rqf = (qf32 * cvec + qsw * svec).astype(mdt)
+    kf32 = kf.astype(jnp.float32)
+    ksw = jax.lax.dot_general(
+        kf32, pswap_ref[:dkv, :dkv], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rkf = (kf32 * cvec[:, :dkv] + ksw * svec[:, :dkv]).astype(mdt)
+
+    memkv_all = memkv_ref[0].astype(jnp.float32)            # [2, kvh, M, d]
+
+    # the kv-row RMW window reads ride under all the staging work below
+    kvbase = pl.multiple_of(
+        jnp.minimum((t // 8) * 8, max_blocks * Bs - 8), 8)
+    roff = t - kvbase
+    last_blk = t // Bs
+    rd_cps = {}
+    for hi in range(kvh):
+        rd = pltpu.make_async_copy(
+            kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wkv_list[hi],
+            wsem.at[hi])
+        rd.start()
+        rd_cps[hi] = rd
+
+    # ---- staging: head-crossing lane extracts -> row-major scratches ------
+    # (store relayouts are the only Mosaic-legal lane->row movement; the
+    # per-(hi, gi) gate extraction keeps the iota-matmul route because its
+    # 3-lane source offsets are not lane-aligned)
+    for hi in range(kvh):
+        for gi in range(g):
+            hq = (hi * g + gi) * d
+            rows_e = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 0)
+            cols_e = jax.lax.broadcasted_iota(jnp.int32, (3 * heads_, 3), 1)
+            esel = (rows_e == 3 * (hi * g + gi) + cols_e).astype(jnp.float32)
+            g3 = jax.lax.dot_general(
+                gates.astype(jnp.float32), esel,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for r in range(b):
+                row = r * kvh + hi
+                q_s[row:row + 1, 0, gi, :] = (
+                    qf[r:r + 1, hq:hq + d].astype(mdt))
+                rq_s[row:row + 1, 0, gi, :] = (
+                    rqf[r:r + 1, hq:hq + d].astype(mdt))
+                gates_s[row:row + 1, 0, gi, :] = g3[r:r + 1].astype(mdt)
+        # ring rows are UNROTATED k||v (compression inputs are never
+        # rotated, reference native_sparse_attention.py:377-385)
+        for r in range(b):
+            newkv_s[r:r + 1, hi, :d] = (
+                kf[r:r + 1, hi * d:(hi + 1) * d].astype(cdt))
+            newkv_s[r:r + 1, hi, d:] = (
+                vf[r:r + 1, hi * d:(hi + 1) * d].astype(cdt))
+
+    # ---- ring shift (every step), ALL heads in one op ----------------------
+    ring4 = ring_all_s[l]                                   # [b, kvh, Bc, 2d]
+    shifted4 = jnp.concatenate(
+        [ring4[:, :, 1:], newkv_s[...][:, :, None, :]], axis=2)
+    ring_all_s[l] = shifted4
+
+    # ---- predicated compressed-block emission (batched window, per-head
+    # matmuls: the GroupedMLP weights differ per head) -----------------------
+    @pl.when(emit == 1)
+    def _emit():
+        cp1 = pltpu.make_async_copy(w1k_hbm.at[l], w1k_s, csem.at[0])
+        cp2 = pltpu.make_async_copy(w1v_hbm.at[l], w1v_s, csem.at[1])
+        cp3 = pltpu.make_async_copy(w2c_hbm.at[l], w2c_s, csem.at[2])
+        cp1.start()
+        cp2.start()
+        cp3.start()
+        cp1.wait()
+        cp2.wait()
+        cp3.wait()
+        hid = w1k_s.shape[2]
+        row_pos = (t + 1 - Bc) + jax.lax.broadcasted_iota(
+            jnp.int32, (b, kvh, Bc, 2 * d), 2)
+        win4 = jnp.where(row_pos >= 0, shifted4, 0.0)
+        win4 = win4 + poskv_ref[0][None].astype(win4.dtype)
+        w1k_all = w1k_s[...]
+        w1v_all = w1v_s[...]
+        w2c_all = w2c_s[...]
+        for hi in range(kvh):
+            win = win4[:, hi]                               # [b, Bc, 2d]
+            hk = jnp.zeros((b, hid), jnp.float32)
+            hv = jnp.zeros((b, hid), jnp.float32)
+            for j in range(Bc):
+                hk = hk + jax.lax.dot_general(
+                    win[:, j, :d], w1k_all[hi, j * d:(j + 1) * d, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hv = hv + jax.lax.dot_general(
+                    win[:, j, d:], w1v_all[hi, j * d:(j + 1) * d, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            hk = jax.nn.relu(hk + b1k_ref[0, hi].astype(jnp.float32))
+            hv = jax.nn.relu(hv + b1v_ref[0, hi].astype(jnp.float32))
+            hk = hk.astype(cdt)
+            hv = hv.astype(cdt)
+            ck_ = jax.lax.dot_general(
+                hk, w2c_all[hi, :, :d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2c_ref[0, hi, :d].astype(jnp.float32)
+            cv_ = jax.lax.dot_general(
+                hv, w2c_all[hi, :, d:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2c_ref[0, hi, d:].astype(jnp.float32)
+            # per-row stores: whole-batch stores through an int mid index
+            # need a relayout Mosaic can't infer (r5 bs-8 finding)
+            for r in range(b):
+                cand_s[r:r + 1, hi, :d] = ck_[r:r + 1].astype(cdt)
+                cand_s[r:r + 1, hi, d:] = cv_[r:r + 1].astype(cdt)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, kvh, Wc, 2 * d), 2)
+        cur4 = ckv_all_s[l]
+        ckv_all_s[l] = jnp.where(
+            rows == slot, cand_s[...][:, :, None, :], cur4)
+
+    # ---- compressed attention + selection: ONE call over B rows -----------
+    # (reads the post-emission ckv; slot == num_cb is masked out by the
+    # select math, so pre/post staging is equivalent — same argument as
+    # the per-head kernel)
+    ckv_b = ckv_all_s[l].reshape(B, 1, Wc, 2 * d)
+    memk_b = jnp.broadcast_to(
+        memkv_all[0][None], (b, kvh, M, d)).reshape(B, M, d)
+    memv_b = jnp.broadcast_to(
+        memkv_all[1][None], (b, kvh, M, d)).reshape(B, M, d)
+    _select_math(
+        t, num_cb, q_s, ckv_b, memk_b, memv_b, cout_s, info_s,
+        scale=scale, stride=stride, sel_block=sel_block,
+        num_sel=num_sel, n_slide=n_slide, max_blocks=max_blocks,
+    )
+
+    # ---- commit new kv rows; issue ALL gathers together ---------------------
+    wr_cps = {}
+    gather_cps = []
+    ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * d), 0)
+    for hi in range(kvh):
+        rd_cps[hi].wait()
+        # the kv cache row is ROTATED k || v (unlike the ring's unrotated
+        # row) — same value concat the per-head kernel builds
+        rkv_h = jnp.concatenate(
+            [rkf[:, hi * d:(hi + 1) * d], vf[:, hi * d:(hi + 1) * d]],
+            axis=-1,
+        ).astype(cdt)                                       # [b, 2d]
+        wkv = wkv_list[hi]
+        for r in range(b):
+            wkv[r] = jnp.where(
+                ri8 == roff, rkv_h[r:r + 1, :], wkv[r])
+        wr = pltpu.make_async_copy(
+            wkv, kv_out.at[l, :, hi, pl.ds(kvbase, 8), :], wsem.at[hi])
+        wr.start()
+        wr_cps[hi] = wr
+        for r in range(b):
+            row = r * kvh + hi
+            irow = info_s[row:row + 1, :]
+            for s in range(num_sel):
+                blk = _extract_scalar(irow, s)
+                cp = pltpu.make_async_copy(
+                    kv_out.at[l, r, hi, pl.ds(blk * Bs, Bs), :],
+                    fkv_s.at[row, pl.ds(s * Bs, Bs), :],
+                    gsems.at[hi, s],
+                )
+                cp.start()
+                gather_cps.append(cp)
+            for j in range(n_slide - 1):
+                blk = jnp.clip(
+                    last_blk - (n_slide - 1 - j), 0, max_blocks - 1)
+                cp = pltpu.make_async_copy(
+                    kv_out.at[l, r, hi, pl.ds(blk * Bs, Bs), :],
+                    fkv_s.at[row, pl.ds((num_sel + j) * Bs, Bs), :],
+                    gsems.at[hi, num_sel + j],
+                )
+                cp.start()
+                gather_cps.append(cp)
+
+    diag = jnp.clip(last_blk, 0, max_blocks - 1)
+    for hi in range(kvh):
+        wr_cps[hi].wait()
+        for r in range(b):
+            row = r * kvh + hi
+            cp = pltpu.make_async_copy(
+                kv_out.at[l, r, hi, pl.ds(diag * Bs, Bs), :],
+                fkv_s.at[row, pl.ds((n_slots - 1) * Bs, Bs), :],
+                gsems.at[hi, n_slots - 1],
+            )
+            cp.start()
+            gather_cps.append(cp)
+    for cp in gather_cps:
+        cp.wait()
+
+    # ---- fine + sliding + gate combine: ONE call over B rows ---------------
+    combined = _attend_math(
+        t, rq_s, fkv_s[...], info_s, cout_s, gates_s,
+        scale=scale, sel_block=sel_block, window=window,
+        num_sel=num_sel, n_slide=n_slide,
+    )                                                       # [B, g, d] f32
+    comb16 = combined.astype(cdt)
+
+    # ---- output projection: lane-stage rows back -> ONE [b,din]@[din,dim] --
+    for hi in range(kvh):
+        for gi in range(g):
+            ho = (hi * g + gi) * d
+            for r in range(b):
+                row = r * kvh + hi
+                co_s[r:r + 1, ho:ho + d] = comb16[row:row + 1, gi, :]
+    y = jax.lax.dot_general(
+        co_s[...], (wout_all_s[l] if resident else wout_ref[0]).astype(cdt),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [b, dim] f32
+
+    # ---- residual + feed-forward -------------------------------------------
+    y32 = x.astype(jnp.float32) + y
+    out32 = _ff_tail(
+        y32, mdt, fnorm_ref[0, 0], fb1_ref[0, 0], fb2_ref[0, 0],
+        fw1_all_s.at[l] if resident else fw1_ref.at[0],
+        fw2_all_s.at[l] if resident else fw2_ref.at[0],
+        eps=eps,
+    )
+    x_s[...] = out32.astype(mdt)
+
+    # ---- cache writeback (last grid step only) ------------------------------
+    @pl.when(jnp.logical_and(s_ix == pl.num_programs(0) - 1, l == depth - 1))
+    def _writeback():
+        c1 = pltpu.make_async_copy(ckv_all_s, ckv_out, csem.at[0])
+        c2 = pltpu.make_async_copy(ring_all_s, ring_out, rsem)
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    # ---- final norm + LM head (last layer step) -----------------------------
+    @pl.when(l == depth - 1)
+    def _logits():
+        xo = x_s[...].astype(jnp.float32)
+        v2 = jnp.mean(xo * xo, axis=-1, keepdims=True)
+        onormed = (xo * jax.lax.rsqrt(v2 + eps)
+                   * onorm_ref[0].astype(jnp.float32)).astype(mdt)
+        lg = jax.lax.dot_general(
+            onormed, tolog_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        lgq = lg.astype(mdt).astype(jnp.float32)
+        logits_ref[...] = lgq
+        if greedy:
+            vocab = lgq.shape[1]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+            for r in range(b):
+                row = lgq[r:r + 1, :]
+                mx = jnp.max(row, axis=-1, keepdims=True)
+                pick = jnp.min(
+                    jnp.where(row >= mx, ids, 2 ** 30),
+                    axis=-1, keepdims=True,
+                )
+                tok_s[r:r + 1, :] = pick
+                tok_out[pl.ds(s_ix, 1), r:r + 1] = pick
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
                      "sel_block", "num_sel", "n_slide", "window", "scale",
                      "eps", "theta", "greedy", "steps", "interpret",
-                     "resident"),
+                     "resident", "headbatch"),
 )
 def decode_step_mega(
     mp: dict,
@@ -589,6 +993,7 @@ def decode_step_mega(
     sel_block: int, num_sel: int, n_slide: int, window: int, scale: float,
     eps: float, theta: float, greedy: bool = False, steps: int = 1,
     interpret: bool | None = None, resident: bool | None = None,
+    headbatch: bool | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Whole-model decode -> (logits [b, vocab] f32, kv, ckv, ring), or
     with ``greedy=True`` -> (logits, tokens [b, steps] int32, kv, ckv,
@@ -639,6 +1044,12 @@ def decode_step_mega(
     # the b-scaled launch-resident caches exceeds the 64 MiB scoped-VMEM
     # limit at b 8 (measured 65.46 MB, r5) — blocked mode there
     resident = resident and b <= 4
+    if headbatch is None:
+        # head-batched formulation (r5): ~kvh x fewer issued ops in the
+        # select/attend phases; NSA_MEGA_HB=0 falls back to per-head
+        import os as _os
+
+        headbatch = _os.environ.get("NSA_MEGA_HB", "1") == "1"
 
     scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 
@@ -716,12 +1127,40 @@ def decode_step_mega(
         jax.ShapeDtypeStruct(kv.shape, kv.dtype),
     ]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(steps, depth),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=[
+    if headbatch:
+        B = b * kvh
+        scratch_shapes = [
+            pltpu.VMEM((b, dim), mdt),                          # x_s
+            pltpu.VMEM((2, heads * d), jnp.float32),            # cs_s
+            pltpu.VMEM((8, dim), mdt),                          # embw_s
+            pltpu.VMEM(ckv.shape, cdt),                         # ckv_all_s
+            pltpu.VMEM(ring.shape, cdt),                        # ring_all_s
+            pltpu.VMEM((b, 1), jnp.int32),                      # tok_s
+            pltpu.VMEM((kvh, Bc * d, hid), cdt),                # w1k_s
+            pltpu.VMEM((kvh, Bc * d, hid), cdt),                # w1v_s
+            pltpu.VMEM((kvh, hid, 2 * d), cdt),                 # w2c_s
+            pltpu.VMEM((b, kvh, 2 * d), cdt),                   # cand_s
+            pltpu.VMEM((b, kvh, 2 * d), cdt),                   # newkv_s
+            pltpu.VMEM((B, 1, g, d), mdt),                      # q_s
+            pltpu.VMEM((B, 1, g, d), mdt),                      # rq_s
+            pltpu.VMEM((B, 1, g, d), mdt),                      # cout_s
+            pltpu.VMEM((B, 1, g, 3), mdt),                      # gates_s
+            pltpu.VMEM((B, INFO_WIDTH), jnp.int32),             # info_s
+            pltpu.VMEM((B, n_slots * sel_block, 2 * d), cdt),   # fkv_s
+            pltpu.VMEM((b, heads * d), cdt),                    # co_s
+        ] + [
+            pltpu.VMEM((b, 8, 2 * d), cdt)                      # wkv per head
+            for _ in range(kv_heads)
+        ] + [
+            pltpu.SemaphoreType.DMA((kv_heads, n_slots)),       # gsems
+            pltpu.SemaphoreType.DMA((kv_heads,)),               # wsem
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        kernel_fn = _mega_kernel_hb
+    else:
+        scratch_shapes = [
             pltpu.VMEM((b, dim), mdt),                          # x_s
             pltpu.VMEM((2, heads * d), jnp.float32),            # cs_s
             pltpu.VMEM((8, dim), mdt),                          # embw_s
@@ -760,7 +1199,14 @@ def decode_step_mega(
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-        ] + ([
+        ]
+        kernel_fn = _mega_kernel
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps, depth),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes + ([
             pltpu.VMEM((L, dim, P), mdt),                   # wqkvg_all_s
             pltpu.VMEM((L, heads * d, dim), mdt),           # wout_all_s
             pltpu.VMEM((L, dim, hid4), mdt),                # fw1_all_s
@@ -770,7 +1216,7 @@ def decode_step_mega(
     )
     outs = pl.pallas_call(
         functools.partial(
-            _mega_kernel, scale=scale, stride=stride, sel_block=sel_block,
+            kernel_fn, scale=scale, stride=stride, sel_block=sel_block,
             num_sel=num_sel, n_slide=n_slide, window=window,
             max_blocks=max_blocks, eps=eps, depth=depth, theta=theta,
             greedy=greedy, resident=resident, kv_heads=kv_heads,
