@@ -78,6 +78,23 @@ def kv_cache_saving_ratio(cfg: ModelConfig, prompt_len: int) -> float:
     return 1.0 - min(prompt_len, selected) / prompt_len
 
 
+def _pick_mega_steps(gen_len: int) -> int:
+    """Tokens per megakernel launch for a gen_len rollout.
+
+    The launch cost amortizes across the chunk (r5 A/B: x32 is ~4% under
+    x8 at bs 1 and ~6% at bs 8), so pick the LARGEST divisor of gen_len
+    up to the cap — the old halve-from-8 rule dropped gen 100 to x4
+    chunks.  NSA_MEGA_STEPS caps it (default 32)."""
+    import os
+
+    cap = int(os.environ.get("NSA_MEGA_STEPS", "32"))
+    cap = max(1, min(cap, gen_len))
+    for s in range(cap, 0, -1):
+        if gen_len % s == 0:
+            return s
+    return 1
+
+
 def measure_prefill(params, cfg: ModelConfig, batch_size: int, prompt_len: int,
                     iters: int = 5) -> float:
     """Prefill throughput in tokens/s (full-prompt forward)."""
@@ -117,11 +134,7 @@ def measure_decode(
         # whole-model megakernel: ONE Pallas launch decodes NSA_MEGA_STEPS
         # tokens with in-kernel greedy feedback (the dispatch-bound
         # small-batch regime, ops/pallas/nsa_megakernel.py)
-        import os
-
-        mega_steps = int(os.environ.get("NSA_MEGA_STEPS", "8"))
-        while mega_steps > 1 and gen_len % mega_steps:
-            mega_steps //= 2
+        mega_steps = _pick_mega_steps(gen_len)
         mp = pack_mega_params(params, cfg)
         kv, ckv, ring = stack_decode_caches(cache)
         t0 = cache.seq_len
@@ -212,11 +225,7 @@ def run_efficiency_sweep(
         # the per-layer step above
         mega = cfg.use_sparse_attn and use_mega_decode(cfg, bs)
         if mega:
-            import os as _os
-
-            mega_steps = int(_os.environ.get("NSA_MEGA_STEPS", "8"))
-            while mega_steps > 1 and gen_len % mega_steps:
-                mega_steps //= 2
+            mega_steps = _pick_mega_steps(gen_len)
             mp = pack_mega_params(params, cfg)
 
             @lazy_jit
