@@ -23,14 +23,24 @@ from nsa_tpu.models.transformer import init_transformer
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=500)
+    ap.add_argument("--gen", type=int, default=100)
+    args = ap.parse_args()
     cfg = reference_model_config(
         compressor="mlp", use_sparse_attn=False,
     ).replace(dtype="bfloat16", attn_chunk_size=128, attn_impl="xla")
     params = init_transformer(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     lim = os.environ.get("NSA_SCOPED_VMEM_KIB", "(default 98304)")
-    tps = measure_decode(params, cfg, 8, 500, 100, iters=3, seq_len=4096)
-    print(f"full_attn bs8 prompt500 gen100 seq4096: {tps:.1f} tok/s "
+    tps = measure_decode(params, cfg, args.batch, args.prompt, args.gen,
+                         iters=3, seq_len=4096)
+    print(f"full_attn bs{args.batch} prompt{args.prompt} gen{args.gen} "
+          f"seq4096: {tps:.1f} tok/s = "
+          f"{args.batch * args.gen / tps * 1e3 / args.gen:.4f} ms/step "
           f"(scoped_vmem_kib={lim})", flush=True)
 
 
