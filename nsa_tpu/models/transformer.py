@@ -166,24 +166,30 @@ def use_mega_decode(cfg: ModelConfig, batch: int) -> bool:
 
     Scope: scalar-position decode at small batch, Pallas impl, gelu FF,
     the GroupedMLP compressor and shared-KV selection (same constraints
-    as the 2-kernel fused path).  DEFAULT ON for b <= 16 since the r5
+    as the 2-kernel fused path).  DEFAULT ON for b <= 8 per the r5
     on-chip A/B (max_len 4096, gen 200, trained config): bs 1 mega
     0.126 ms/step vs fused 0.18 (+28%); bs 8 mega 50,934 tok/s vs fused
-    19,494 vs full-attention 14,743 (3.45x); bs 16 mega-x32 66,946
-    tok/s vs fused 31,692 vs full 19,611 (3.41x) — the serial op-issue
-    floor is batch-invariant, so batching rides nearly free.  bs 16
-    needs the 96 MiB scoped-VMEM limit (ops/common); bs 32's
-    launch-resident ckv alone (~102 MB) is out of VMEM reach, and the
-    r2 batched-gather path wins there anyway.  Opt out with
-    ``NSA_MEGA_DECODE=0``; ``NSA_MEGA_MAX_B`` moves the batch cutover
-    (ragged serving keeps the fused path — the megakernel is
-    scalar-position only)."""
+    19,494 vs full-attention 14,743 (3.45x) — the serial op-issue
+    floor is batch-invariant, so batching rides nearly free (the r5
+    head-batched body compounds this: bs 8 52,910 tok/s = 3.85x).
+
+    bs 9-16 additionally requires the ``NSA_SCOPED_VMEM_KIB=98304``
+    opt-in: the launch-resident caches measure ~75 MB there (measured
+    66,946 tok/s = 3.41x at bs 16), but making 96 MiB the process-wide
+    DEFAULT degraded unrelated same-process programs ~13x after a
+    megakernel run (see ops/common.tpu_compiler_options), so the limit
+    raise must be deliberate.  bs 32's launch-resident ckv alone
+    (~102 MB) is out of VMEM reach, and the r2 batched-gather path wins
+    there anyway.  Opt out with ``NSA_MEGA_DECODE=0``;
+    ``NSA_MEGA_MAX_B`` moves the batch cutover (ragged serving keeps
+    the fused path — the megakernel is scalar-position only)."""
     import os
 
     nsa = cfg.nsa
     if os.environ.get("NSA_MEGA_DECODE", "") == "0":
         return False
-    max_b = int(os.environ.get("NSA_MEGA_MAX_B", "16"))
+    cap = 16 if int(os.environ.get("NSA_SCOPED_VMEM_KIB", "0")) >= 98304 else 8
+    max_b = int(os.environ.get("NSA_MEGA_MAX_B", str(cap)))
     return (
         cfg.use_sparse_attn
         and cfg.attn_impl == "pallas"
@@ -270,6 +276,7 @@ def stack_decode_caches(cache: ModelCache):
 def transformer_decode_step_mega(
     mp: dict, cfg: ModelConfig, token: jnp.ndarray, kv, ckv, ring, t,
     greedy: bool = False, steps: int = 1, resident: bool | None = None,
+    headbatch: bool | None = None,
 ):
     """Whole-model decode through the megakernel:
     -> (logits [b, vocab] f32, kv, ckv, ring), or with ``greedy=True``
@@ -289,7 +296,7 @@ def transformer_decode_step_mega(
         n_slide=-(-nsa.sliding_window_size // Bs) + 1,
         window=nsa.sliding_window_size, scale=cfg.dim_head ** -0.5,
         eps=cfg.norm_eps, theta=cfg.rope_theta, greedy=greedy, steps=steps,
-        resident=resident,
+        resident=resident, headbatch=headbatch,
     )
 
 

@@ -22,14 +22,21 @@ def tpu_compiler_options():
     """
     if jax.default_backend() == "cpu":
         return None
-    # 96 MiB (r5, was 64): the bs-16 decode megakernel's launch-resident
-    # caches + per-head scratch measure ~75 MB.  This is a LIMIT the
-    # compiler checks allocations against, not a reservation — programs
-    # that fit 64 MiB are unaffected.  NSA_SCOPED_VMEM_KIB overrides.
+    # 64 MiB default.  The r5 attempt to default this to 96 MiB (for the
+    # bs-16 megakernel's ~75 MB of launch-resident scratch) coincided
+    # with ~13x degradations of programs run AFTER a megakernel in the
+    # same process (full-attn decode: 13.2k tok/s isolated at either
+    # limit, ~1.0k post-megakernel under the 96 MiB default, twice; the
+    # r5 session measured full at 0.085 ms/step post-megakernel under
+    # 64 MiB).  The backend also showed megakernel-free degradation
+    # windows the same day, so the attribution is not airtight — but
+    # 64 MiB is the long-proven default and nothing on the default path
+    # needs more, so the bs-16 megakernel requires the explicit
+    # NSA_SCOPED_VMEM_KIB=98304 opt-in (use_mega_decode gates on it).
     import os
 
     return {"xla_tpu_scoped_vmem_limit_kib":
-            os.environ.get("NSA_SCOPED_VMEM_KIB", "98304")}
+            os.environ.get("NSA_SCOPED_VMEM_KIB", "65536")}
 
 
 def lazy_jit(fn=None, /, **jit_kwargs):

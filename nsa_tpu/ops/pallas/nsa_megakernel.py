@@ -975,6 +975,41 @@ def _mega_kernel_hb(
                 tok_out[pl.ds(s_ix, 1), r:r + 1] = pick
 
 
+def decode_step_mega(
+    mp, kv, ckv, ring, token, t, *, steps: int = 1,
+    interpret: bool | None = None, resident: bool | None = None,
+    headbatch: bool | None = None, **static_kw,
+):
+    """Env-dependent statics (resident / headbatch / interpret) are
+    resolved HERE, outside the jit: resolving them inside the traced
+    function caches the executable under the ``None`` static key, so
+    flipping NSA_MEGA_RESIDENT / NSA_MEGA_HB between same-shape calls
+    would silently reuse the stale compile.  See _decode_step_mega_jit
+    for the actual kernel wrapper."""
+    import os as _os
+
+    b = kv.shape[1]
+    interpret = resolve_interpret(interpret)
+    if resident is None:
+        # launch-resident weights pay one ~35 MB VMEM staging DMA per
+        # launch, so they only win when several token steps amortize it;
+        # the VMEM cost (~23 MB net) rules out the larger cache batches.
+        env = _os.environ.get("NSA_MEGA_RESIDENT", "")
+        resident = env == "1" if env in ("0", "1") else steps >= 4
+    # hard clamp regardless of env: resident scratch (+~35 MB) on top of
+    # the b-scaled launch-resident caches exceeds the 64 MiB scoped-VMEM
+    # limit at b 8 (measured 65.46 MB, r5)
+    resident = resident and b <= 4
+    if headbatch is None:
+        # head-batched body (r5): ~kvh x fewer issued ops in the
+        # select/attend phases; NSA_MEGA_HB=0 falls back to per-head
+        headbatch = _os.environ.get("NSA_MEGA_HB", "1") == "1"
+    return _decode_step_mega_jit(
+        mp, kv, ckv, ring, token, t, steps=steps, interpret=interpret,
+        resident=resident, headbatch=headbatch, **static_kw,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "heads", "kv_heads", "dim_head", "stride",
@@ -982,7 +1017,7 @@ def _mega_kernel_hb(
                      "eps", "theta", "greedy", "steps", "interpret",
                      "resident", "headbatch"),
 )
-def decode_step_mega(
+def _decode_step_mega_jit(
     mp: dict,
     kv: jnp.ndarray,         # [L, b, kvh, max_len, 2d] (donated)
     ckv: jnp.ndarray,        # [L, b, kvh, Wc, 2d] (donated)
@@ -1022,34 +1057,16 @@ def decode_step_mega(
     P = mp["w_qkvg"].shape[2]
     n_slots = num_sel + n_slide
     max_blocks = max_len // sel_block
-    interpret = resolve_interpret(interpret)
+    # statics arrive CONCRETE from decode_step_mega (env resolution lives
+    # there, outside the jit, so env flips are not masked by the jit cache)
+    assert interpret is not None and resident is not None
+    assert headbatch is not None
     # b 16 needs the raised scoped-VMEM limit (~75 MB launch caches +
     # scratch; ops/common.tpu_compiler_options); b 32's launch-resident
     # ckv alone is ~102 MB — out of reach on v5e
     assert b <= 16, "megakernel decode targets the small-batch regime"
     assert steps == 1 or greedy, "multi-step decode requires greedy"
-    if resident is None:
-        # launch-resident weights pay one ~35 MB VMEM staging DMA per
-        # launch, so they only win when several token steps amortize it;
-        # the VMEM cost (~23 MB net) rules out the larger cache batches.
-        # Resolved at trace time; NSA_MEGA_RESIDENT=0/1 forces it for A/B.
-        import os as _os
-
-        env = _os.environ.get("NSA_MEGA_RESIDENT", "")
-        if env in ("0", "1"):
-            resident = env == "1"
-        else:
-            resident = steps >= 4
-    # hard clamp regardless of env: resident scratch (+~35 MB) on top of
-    # the b-scaled launch-resident caches exceeds the 64 MiB scoped-VMEM
-    # limit at b 8 (measured 65.46 MB, r5) — blocked mode there
-    resident = resident and b <= 4
-    if headbatch is None:
-        # head-batched formulation (r5): ~kvh x fewer issued ops in the
-        # select/attend phases; NSA_MEGA_HB=0 falls back to per-head
-        import os as _os
-
-        headbatch = _os.environ.get("NSA_MEGA_HB", "1") == "1"
+    assert not (resident and b > 4), "resident weights are clamped to b <= 4"
 
     scal = t.astype(jnp.int32)[None]    # everything else derives in-kernel
 

@@ -260,3 +260,38 @@ class TestMegakernelEquivalence:
             kv, ckv, ring = kv2, ckv2, ring2
             tok = jnp.argmax(lg, -1).astype(jnp.int32)
         assert list(toks) == loop_toks
+
+
+class TestHeadBatchFormulations:
+    def test_headbatch_matches_per_head_body(self):
+        """The head-batched kernel body (default) and the per-head body
+        compute the same step: logits AND cache state, across emission
+        boundaries.  Guards the NSA_MEGA_HB=0 fallback now that the
+        head-batched body is the default (r5)."""
+        cfg = _cfg()
+        key = jax.random.PRNGKey(3)
+        params = init_transformer(key, cfg)
+        prompt = jax.random.randint(
+            jax.random.PRNGKey(4), (2, 11), 0, cfg.vocab_size)
+        _, cache = transformer_prefill(params, cfg, prompt, 64)
+        mp = pack_mega_params(params, cfg)
+        t0 = cache.seq_len
+        tok = jnp.array([1, 7], jnp.int32)
+
+        outs = {}
+        for hb in (True, False):
+            kv, ckv, ring = stack_decode_caches(cache)
+            logits = []
+            tk, t = tok, t0
+            for i in range(6):
+                lg, kv, ckv, ring = transformer_decode_step_mega(
+                    mp, cfg, tk, kv, ckv, ring, t + i, headbatch=hb)
+                logits.append(np.asarray(lg))
+                tk = jnp.argmax(lg, -1).astype(jnp.int32)
+            outs[hb] = (logits, np.asarray(kv), np.asarray(ckv),
+                        np.asarray(ring))
+
+        for a, b in zip(outs[True][0], outs[False][0]):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+        for a, b in zip(outs[True][1:], outs[False][1:]):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
